@@ -1,0 +1,133 @@
+"""Whole-trajectory simulation under ``jax.lax.scan`` — the TPU answer to the
+reference's per-step Python loop (``/root/reference/src/galaxify/simulation.py:117-146``).
+
+The reference crosses the host/device boundary every step (state snapshot
+``.clone().cpu()`` at ``simulation.py:137-139``, ``.item()`` energy readbacks
+at ``simulation.py:101,113``). Here the entire rollout — integration, force
+evaluation, energy diagnostics — is one compiled XLA program; the trajectory
+arrays come back to the host once at the end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.core import forces
+from nbody_tpu.core.integrators import INTEGRATORS
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationConfig:
+    """Static simulation parameters (hashable: usable as a jit static arg).
+
+    Mirrors ``BaseSimulator.__init__`` (reference ``simulation.py:21-56``)
+    minus the device plumbing — JAX owns placement.
+    """
+
+    g_const: float = 1.0
+    softening: float = 0.1
+    dt: float = 0.01
+    integrator: str = "leapfrog"  # "leapfrog" | "euler"  (simulation.py:153-187)
+    calc_energy: bool = True
+    force_backend: str = "auto"  # "dense" | "pallas" | "auto"
+
+    def __post_init__(self):
+        if self.integrator not in INTEGRATORS:
+            raise ValueError(f"unknown integrator {self.integrator!r}")
+        if self.force_backend not in ("dense", "pallas", "auto"):
+            raise ValueError(f"unknown force backend {self.force_backend!r}")
+
+
+class Trajectory(NamedTuple):
+    """Stacked per-step post-update states — the ``list[SimulationState]`` of
+    the reference (``simulation.py:8-18``) as a struct-of-arrays pytree."""
+
+    positions: jax.Array  # (steps, N, 3)
+    velocities: jax.Array  # (steps, N, 3)
+    accelerations: jax.Array  # (steps, N, 3)
+    u_energy: Optional[jax.Array]  # (steps,) or None
+    k_energy: Optional[jax.Array]  # (steps,) or None
+
+
+# Below this particle count the dense XLA path wins (kernel launch overheads);
+# above it the Pallas tiled kernel avoids the O(N^2) HBM intermediate.
+_PALLAS_AUTO_THRESHOLD = 2048
+
+
+def make_acc_fn(
+    mass: jax.Array,
+    config: SimulationConfig,
+    mask: Optional[jax.Array] = None,
+    n: Optional[int] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """Bind masses/constants into a ``pos -> acc`` closure, choosing the
+    force backend (dense XLA vs Pallas tiled kernel)."""
+    backend = config.force_backend
+    if backend == "auto":
+        n_eff = n if n is not None else mass.shape[-1]
+        on_tpu = jax.default_backend() == "tpu"
+        backend = "pallas" if (on_tpu and n_eff >= _PALLAS_AUTO_THRESHOLD) else "dense"
+
+    if backend == "pallas":
+        from nbody_tpu.ops.pairwise import pallas_accelerations
+
+        return lambda pos: pallas_accelerations(
+            pos, mass, config.g_const, config.softening, mask=mask
+        )
+    return lambda pos: forces.pairwise_accelerations(
+        pos, mass, config.g_const, config.softening, mask=mask
+    )
+
+
+@partial(jax.jit, static_argnames=("steps", "config"))
+def simulate(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    steps: int,
+    config: SimulationConfig,
+    mask: Optional[jax.Array] = None,
+) -> Trajectory:
+    """Run ``steps`` integration steps and return the stacked trajectory.
+
+    Equivalent to ``BaseSimulator.run(steps)`` (reference
+    ``simulation.py:117-146``): the ctor's initial force evaluation
+    (``simulation.py:69``) seeds the carry, then each step applies the
+    integrator and (optionally) the O(N^2) energy diagnostics.
+
+    :param pos: (N, 3) float32 initial positions.
+    :param vel: (N, 3) float32 initial velocities.
+    :param mass: (N,) float32 masses.
+    :param mask: optional (N,) validity mask for padded slots.
+    """
+    pos = jnp.asarray(pos, jnp.float32)
+    vel = jnp.asarray(vel, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+
+    acc_fn = make_acc_fn(mass, config, mask=mask, n=pos.shape[0])
+    step_fn = INTEGRATORS[config.integrator]
+    dt = jnp.float32(config.dt)
+
+    def body(carry, _):
+        p, v, a = carry
+        p, v, a = step_fn(p, v, a, acc_fn, dt)
+        if config.calc_energy:
+            u, k = forces.energies(
+                p, v, mass, config.g_const, config.softening, mask=mask
+            )
+        else:
+            u = k = jnp.float32(0)
+        return (p, v, a), (p, v, a, u, k)
+
+    acc0 = acc_fn(pos)
+    _, (ps, vs, accs, us, ks) = jax.lax.scan(
+        body, (pos, vel, acc0), None, length=steps
+    )
+    if not config.calc_energy:
+        us = ks = None
+    return Trajectory(ps, vs, accs, us, ks)

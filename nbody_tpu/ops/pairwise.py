@@ -1,0 +1,194 @@
+"""Pallas tiled all-pairs gravity kernel — the TPU-native replacement for the
+reference's broadcasted O(N^2) torch evaluation
+(``/root/reference/src/galaxify/simulation.py:80-88``).
+
+The reference materialises the full (N, N, 3) displacement tensor in device
+memory every step. Here the interaction matrix only ever exists as
+(TILE_I, TILE_J) blocks in VMEM: the grid walks j-tiles innermost and
+accumulates partial accelerations into an output block that stays resident in
+VMEM across the j sweep. Per-coordinate broadcasts (TI,1)-(1,TJ) keep the
+arithmetic exact (no |a|^2+|b|^2-2ab cancellation) and entirely on the VPU.
+
+The kernel is *rectangular*: it computes forces exerted by a source set J on
+a target set I. ``diag_delta`` tells it where the self-interaction diagonal
+falls in global index space (global_i - global_j), which makes the same
+kernel serve both the single-device full product (delta=0) and each step of
+the multi-device ring (``nbody_tpu.parallel.ring``), where I and J are
+different shards of the global particle array.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Floor keeps rsqrt finite for coincident *padded* slots when softening == 0.
+# (Real coincident pairs with softening == 0 are singular in the reference
+# too; the diagonal is masked explicitly either way.)
+_D2_FLOOR = 1e-30
+
+
+def _force_kernel(fscal_ref, delta_ref, pos_i_ref, posT_j_ref, massT_j_ref, acc_ref):
+    """One (i, j) tile of the interaction sum.
+
+    fscal_ref:   SMEM (2,) float32 = [g_const, softening]
+    delta_ref:   SMEM (1,) int32   = global_row_base - global_col_base
+    pos_i_ref:   VMEM (TI, 3)   target-tile positions (sublane-major)
+    posT_j_ref:  VMEM (3, TJ)   source-tile positions, transposed (lane-major)
+    massT_j_ref: VMEM (1, TJ)   source-tile masses (already validity-masked)
+    acc_ref:     VMEM (TI, 3)   accumulated over the j grid dimension
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ti = acc_ref.shape[0]
+    tj = posT_j_ref.shape[1]
+
+    g = fscal_ref[0]
+    eps = fscal_ref[1]
+    delta = delta_ref[0]
+
+    xi = pos_i_ref[:, 0:1]  # (TI, 1)
+    yi = pos_i_ref[:, 1:2]
+    zi = pos_i_ref[:, 2:3]
+    xj = posT_j_ref[0:1, :]  # (1, TJ)
+    yj = posT_j_ref[1:2, :]
+    zj = posT_j_ref[2:3, :]
+
+    dx = xj - xi  # (TI, TJ) = r_j - r_i, matching simulation.py:80
+    dy = yj - yi
+    dz = zj - zi
+    d2 = dx * dx + dy * dy + dz * dz + eps * eps
+    inv = jax.lax.rsqrt(jnp.maximum(d2, _D2_FLOOR))
+    w = inv * inv * inv * massT_j_ref[0:1, :]  # (TI, TJ)
+
+    # Zero the self-interaction: local (row - col) == delta marks the global
+    # diagonal (simulation.py:85). For cross-shard ring blocks |delta| >= TJ
+    # so nothing is masked — exactly right.
+    row_l = i * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    col_l = j * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    w = jnp.where(row_l - col_l == delta, 0.0, w)
+
+    ax = jnp.sum(w * dx, axis=1, keepdims=True)  # (TI, 1)
+    ay = jnp.sum(w * dy, axis=1, keepdims=True)
+    az = jnp.sum(w * dz, axis=1, keepdims=True)
+    partial_acc = g * jnp.concatenate([ax, ay, az], axis=1)  # (TI, 3)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + partial_acc
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def pallas_partial_accelerations(
+    pos_i: jax.Array,
+    pos_j: jax.Array,
+    mass_j: jax.Array,
+    g_const,
+    softening,
+    diag_delta=0,
+    tile_i: int = 256,
+    tile_j: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Accelerations exerted on targets ``pos_i`` by sources
+    ``(pos_j, mass_j)``; the self-pair at global offset ``diag_delta`` is
+    excluded. Shapes must already be lane-aligned-friendly; this low-level
+    entry point does NO padding (see :func:`pallas_accelerations`).
+
+    :param diag_delta: traced int32 scalar, global_i_base - global_j_base.
+    """
+    ni, nj = pos_i.shape[0], pos_j.shape[0]
+    ti = min(tile_i, _round_up(ni, 8))
+    tj = min(tile_j, _round_up(nj, 128))
+    assert ni % ti == 0 and nj % tj == 0, (ni, ti, nj, tj)
+    grid = (ni // ti, nj // tj)
+
+    fscal = jnp.stack(
+        [jnp.asarray(g_const, jnp.float32), jnp.asarray(softening, jnp.float32)]
+    )
+    delta = jnp.asarray(diag_delta, jnp.int32).reshape((1,))
+
+    return pl.pallas_call(
+        _force_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ti, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ti, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ni, 3), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=15 * ni * nj,
+            bytes_accessed=nj * 16 * grid[0] + ni * 12,
+            transcendentals=ni * nj,  # rsqrt
+        ),
+        interpret=interpret,
+    )(fscal, delta, pos_i, pos_j.T, mass_j[None, :])
+
+
+@partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def pallas_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    g_const,
+    softening,
+    mask: Optional[jax.Array] = None,
+    tile_i: int = 256,
+    tile_j: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Softened direct-sum accelerations via the tiled Pallas kernel.
+
+    Numerically equivalent to ``nbody_tpu.core.forces.pairwise_accelerations``
+    (tested against it); O(N^2) compute with O(N) memory.
+
+    :param pos: (N, 3) float32 positions.
+    :param mass: (N,) float32 masses.
+    :param mask: optional (N,) validity mask — folded into the masses, so
+        padded slots exert no force; their output rows are zeroed.
+    :return: (N, 3) float32 accelerations.
+    """
+    n = pos.shape[0]
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    if mask is not None:
+        mass = mass * mask.astype(jnp.float32)
+
+    tj = min(tile_j, _round_up(n, 128))
+    ti = min(tile_i, tj)
+    if tj % ti:
+        ti = 128  # always divides tj (a multiple of 128)
+    n_pad = _round_up(n, tj)
+
+    pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+    mass_p = jnp.pad(mass, (0, n_pad - n))  # zero mass => no force
+
+    acc = pallas_partial_accelerations(
+        pos_p,
+        pos_p,
+        mass_p,
+        g_const,
+        softening,
+        diag_delta=0,
+        tile_i=ti,
+        tile_j=tj,
+        interpret=interpret,
+    )
+    acc = acc[:n]
+    if mask is not None:
+        acc = acc * mask[:n, None].astype(acc.dtype)
+    return acc

@@ -1,0 +1,62 @@
+"""Fixed-radius neighbor search with padded output — the TPU-native
+replacement for ``torch_cluster.radius_graph`` (reference ``contconv.py:225``).
+
+Returns the nearest ``k_max`` candidates and a validity mask ``d^2 < r^2``.
+Overflow policy: like PyG's ``radius_graph`` (whose default
+``max_num_neighbors=32`` silently truncates), nodes with more than ``k_max``
+in-radius neighbors keep only the *nearest* ``k_max`` — a strictly better
+truncation than PyG's arbitrary first-found order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.ops.knn import _pairwise_d2, _INF
+
+
+def radius_neighbors(
+    pos: jax.Array,
+    radius: float,
+    k_max: int = 32,
+    mask: Optional[jax.Array] = None,
+    include_self: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Neighbors within ``radius``, padded to ``(N, k_max)``.
+
+    :param pos: (N, 3) positions.
+    :param radius: cutoff distance.
+    :param k_max: static per-node neighbor capacity.
+    :param mask: optional (N,) validity for padded slots.
+    :param include_self: include the self edge (PyG ``loop=True``; the
+        reference ContConv uses ``self_loops=True``, ``contconv.py:109,225``).
+    :return: (idx, valid) — (N, k_max) int32 indices, (N, k_max) bool mask.
+    """
+    n = pos.shape[0]
+    k_max = min(k_max, n)
+    d2 = _pairwise_d2(pos)
+    if not include_self:
+        d2 = jnp.where(jnp.eye(n, dtype=bool), _INF, d2)
+    if mask is not None:
+        m = mask.astype(bool)
+        d2 = jnp.where(m[None, :], d2, _INF)
+    neg_d2, idx = jax.lax.top_k(-d2, k_max)
+    r2 = jnp.asarray(radius, d2.dtype) ** 2
+    valid = -neg_d2 < r2
+    if mask is not None:
+        valid = valid & mask.astype(bool)[:, None]
+    idx = jnp.where(valid, idx, 0)
+    return idx.astype(jnp.int32), valid
+
+
+def batched_radius_neighbors(pos, radius, k_max=32, mask=None, include_self=True):
+    """vmap of :func:`radius_neighbors` over a leading batch axis."""
+    fn = lambda p, m: radius_neighbors(
+        p, radius, k_max=k_max, mask=m, include_self=include_self
+    )
+    if mask is None:
+        return jax.vmap(lambda p: fn(p, None))(pos)
+    return jax.vmap(fn)(pos, mask)

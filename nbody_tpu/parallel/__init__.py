@@ -1,0 +1,9 @@
+from nbody_tpu.parallel.mesh import make_mesh, particle_sharding
+from nbody_tpu.parallel.ring import ring_accelerations, ring_simulate
+
+__all__ = [
+    "make_mesh",
+    "particle_sharding",
+    "ring_accelerations",
+    "ring_simulate",
+]
