@@ -1,0 +1,216 @@
+"""Continuous-convolution surrogate — TPU-native rebuild of the reference
+``ContinuousConvModel`` (``/root/reference/contconv.py:10-240``), in the style
+of Open3D continuous convolutions.
+
+Math parity per layer (contconv.py:30-98): ball-to-cube tanh radial mapping,
+trilinear lookup into a learnable (D, D, D, ci, co) filter grid, per-edge conv
+``einsum('eio,ei->eo')`` weighted by the poly6 window ``(1 - d^2/r^2)^3`` with
+radius cutoff, mean/sum aggregation over neighbors. The radius graph is
+derived from positions on the fly exactly like the reference rebuilds it
+inside forward (contconv.py:225) — here the data pipeline provides the padded
+radius neighbor lists (``ops/radius.py``).
+
+TPU-native formulation — collect-then-matmul: a per-edge gather of the
+(ci, co) interpolated filter matrix (what grid_sample does at contconv.py:73)
+would stream gigabytes from HBM. Because aggregation and interpolation are
+both linear, we swap the loop order:
+
+    out_i = sum_e window_e sum_c w_{e,c} (f_e @ F_c)
+          = sum_c [ sum_e window_e w_{e,c} f_e ] @ F_c
+          = reshape(G_i, (D^3 ci)) @ reshape(F, (D^3 ci, co))
+
+i.e. scatter window-and-corner-weighted features into per-node corner bins G
+(8 adds per edge), then ONE dense matmul against the whole filter bank — MXU
+work instead of random HBM gathers.
+
+Reference bugs NOT replicated: the non-list ``filter_resolution`` branch
+appending to undefined ``self.gnns`` (contconv.py:177,187) and
+``self.neighbors = 0`` making the trainer's dataloader build k=0 kNN graphs
+that forward then ignores (contconv.py:131).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.models.common import gather_neighbors, select_input_features
+from nbody_tpu.models.mlp import MLP, OutputHead
+from nbody_tpu.ops.interpolate import trilinear_corners
+
+DEFAULT_RADIUS_KMAX = 32  # PyG radius_graph's silent max_num_neighbors default
+
+
+def ball_to_cube(r: jax.Array) -> jax.Array:
+    """Radial tanh mapping of displacement vectors into the unit cube
+    (contconv.py:30-33): r_unit * tanh(|r|)."""
+    norm = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    return r / (norm + 1e-8) * jnp.tanh(norm)
+
+
+class ContinuousConv(nn.Module):
+    """One continuous-convolution layer (contconv.py:10-98)."""
+
+    in_channels: int
+    out_channels: int
+    filter_resolution: int = 4
+    radius: float = 0.5
+    agg: str = "mean"
+
+    @nn.compact
+    def __call__(self, pos, feat, nbr_idx, nbr_valid):
+        """:param pos: (B, N, 3) positions.
+        :param feat: (B, N, ci) node features.
+        :param nbr_idx/nbr_valid: (B, N, k) padded radius neighbor lists.
+        :return: (B, N, co).
+        """
+        d = self.filter_resolution
+        filters = self.param(
+            "filters",
+            nn.initializers.normal(stddev=1.0),  # torch.randn, contconv.py:20-27
+            (d, d, d, self.in_channels, self.out_channels),
+        )
+
+        b, n, k = nbr_idx.shape
+        pos_j = gather_neighbors(pos, nbr_idx)  # (B, N, k, 3)
+        r = pos_j - pos[:, :, None, :]  # neighbor - center (contconv.py:84)
+        dist2 = jnp.sum(r * r, axis=-1)  # (B, N, k)
+        r2 = jnp.asarray(self.radius, dist2.dtype) ** 2
+        in_radius = (dist2 < r2) & nbr_valid
+        window = jnp.where(in_radius, (1.0 - dist2 / r2) ** 3, 0.0)
+
+        mapped = ball_to_cube(r)  # (B, N, k, 3) in (-1, 1)
+        grid_coords = (mapped + 1.0) * ((d - 1) / 2.0)  # contconv.py:90
+        cidx, cw = trilinear_corners(grid_coords.reshape(-1, 3), d)
+        cidx = cidx.reshape(b, n, k, 8)
+        cw = cw.reshape(b, n, k, 8)
+
+        feat_j = gather_neighbors(feat, nbr_idx)  # (B, N, k, ci)
+        wf = feat_j * window[..., None]  # window applied pre-aggregation
+
+        # Scatter into per-node corner bins: G (B, N, D^3, ci).
+        bi = jnp.arange(b)[:, None, None]
+        ni = jnp.arange(n)[None, :, None]
+        g = jnp.zeros((b, n, d * d * d, self.in_channels), feat.dtype)
+        for c in range(8):
+            g = g.at[bi, ni, cidx[..., c]].add(cw[..., c, None] * wf)
+
+        # One MXU matmul against the whole filter bank.
+        out = jnp.einsum(
+            "bnzi,zio->bno",
+            g,
+            filters.reshape(d * d * d, self.in_channels, self.out_channels),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        if self.agg == "mean":  # scatter(..., reduce=mean), contconv.py:95-97
+            cnt = jnp.sum(in_radius.astype(out.dtype), axis=-1, keepdims=True)
+            out = out / jnp.maximum(cnt, 1.0)
+        elif self.agg != "sum":
+            raise ValueError(f"unknown agg {self.agg!r}")
+        return out
+
+
+class ContinuousConvModel(nn.Module):
+    """Reference ctor parity (contconv.py:102-134). ``filter_resolution`` may
+    be an int or a per-layer sequence (the working list branch at
+    contconv.py:152-173)."""
+
+    in_channels: int = 4
+    out_channels: int = 3
+    filter_resolution: Union[int, Tuple[int, ...]] = (4,)
+    radius: float = 0.5
+    agg: str = "mean"
+    self_loops: bool = True
+    continuous_conv_layers: int = 1
+    continuous_conv_dim: int = 64
+    continuous_conv_dropout: float = 0.0
+    encoder_hiddens: Optional[Tuple[int, ...]] = None
+    encoder_dropout: float = 0.0
+    decoder_hiddens: Optional[Tuple[int, ...]] = None
+    decoder_dropout: float = 0.0
+    scale_factor: float = 1.0
+    radius_kmax: int = DEFAULT_RADIUS_KMAX
+
+    @property
+    def graph_spec(self):
+        """Radius graph rebuilt from positions each call (contconv.py:225);
+        ``radius_kmax`` mirrors PyG radius_graph's max_num_neighbors=32."""
+        return (
+            "radius",
+            {
+                "radius": self.radius,
+                "k_max": self.radius_kmax,
+                "include_self": self.self_loops,
+            },
+        )
+
+    def _resolutions(self) -> Sequence[int]:
+        fr = self.filter_resolution
+        if isinstance(fr, int):
+            return [fr] * self.continuous_conv_layers
+        assert len(fr) >= self.continuous_conv_layers
+        return list(fr)
+
+    @nn.compact
+    def __call__(self, x, nbr_idx, nbr_valid, train: bool = False):
+        """:param x: (B, N, 7) node features [pos | vel | mass].
+        :return: (B, N, out_channels) predicted accelerations.
+        """
+        x = select_input_features(x, self.in_channels)
+        pos = x[..., :3]  # contconv.py:223
+
+        if self.encoder_hiddens:
+            x = MLP(
+                tuple(self.encoder_hiddens) + (self.continuous_conv_dim,),
+                dropout=self.encoder_dropout,
+                norm="batch_norm",  # PyG MLP default kept by contconv.py:136
+            )(x, train=train)
+        encoder_output = x
+
+        resolutions = self._resolutions()
+        for i in range(self.continuous_conv_layers):
+            ci = (
+                self.in_channels
+                if (i == 0 and self.encoder_hiddens is None)
+                else self.continuous_conv_dim
+            )
+            x = ContinuousConv(
+                in_channels=ci,
+                out_channels=self.continuous_conv_dim,
+                filter_resolution=resolutions[i],
+                radius=self.radius,
+                agg=self.agg,
+            )(pos, x, nbr_idx, nbr_valid)
+            x = jnp.tanh(x)  # contconv.py:230
+            if self.continuous_conv_dropout > 0:
+                x = nn.Dropout(
+                    self.continuous_conv_dropout, deterministic=not train
+                )(x)
+
+        x = nn.LayerNorm(epsilon=1e-5)(
+            jnp.concatenate([encoder_output, x], axis=-1)
+        )  # contconv.py:233
+        return OutputHead(self.decoder_hiddens, self.out_channels)(x)
+
+    def get_config(self):
+        return {
+            "in_channels": self.in_channels,
+            "out_channels": self.out_channels,
+            "filter_resolution": self.filter_resolution,
+            "radius": self.radius,
+            "agg": self.agg,
+            "self_loops": self.self_loops,
+            "continuous_conv_layers": self.continuous_conv_layers,
+            "continuous_conv_dim": self.continuous_conv_dim,
+            "continuous_conv_dropout": self.continuous_conv_dropout,
+            "encoder_hiddens": self.encoder_hiddens,
+            "encoder_dropout": self.encoder_dropout,
+            "decoder_hiddens": self.decoder_hiddens,
+            "decoder_dropout": self.decoder_dropout,
+            "scale_factor": self.scale_factor,
+            "radius_kmax": self.radius_kmax,
+        }

@@ -1,0 +1,108 @@
+"""EdgeConv message-passing surrogate — TPU-native rebuild of the reference
+``GraphModel`` (``/root/reference/gnn.py:25-161``).
+
+Architecture parity (gnn.py:56-148): optional tanh-MLP node encoder, a stack
+of EdgeConv layers (edge MLP ``Linear(2d->d) -> Tanh -> Linear(d->d)``,
+sum/mean aggregation), skip-concat of the encoder output with the GNN output,
+LayerNorm, linear-or-MLP decoder. ``input_dim == 4`` selects [pos | mass]
+from the 7-dim node features (gnn.py:131-134).
+
+TPU-native representation: instead of a COO edge_index + native scatter
+(torch-cluster/torch-scatter), messages live in dense (B, N, k, .) arrays —
+gather neighbors, run the edge MLP as one big matmul, masked-reduce over k
+(SURVEY.md §2.9a). Known reference bugs NOT replicated: ``GraphModel.step``
+calling nonexistent ``self.model.predict`` (gnn.py:229) and ``rollout``
+logging stale velocities (gnn.py:250) — the working rollout lives in
+``nbody_tpu.train.rollout``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.models.common import gather_neighbors, select_input_features
+from nbody_tpu.models.mlp import MLP, Dense, OutputHead
+from nbody_tpu.ops.segment import masked_aggregate
+
+
+class EdgeConv(nn.Module):
+    """PyG ``EdgeConv`` on dense neighbor lists: for every node i,
+    aggr_j MLP([h_i || h_j - h_i]) over its k (masked) neighbors."""
+
+    dim: int
+    aggr: str = "sum"
+
+    @nn.compact
+    def __call__(self, h, nbr_idx, nbr_valid):
+        h_j = gather_neighbors(h, nbr_idx)  # (B, N, k, d)
+        h_i = h[:, :, None, :]
+        msg_in = jnp.concatenate(
+            [jnp.broadcast_to(h_i, h_j.shape), h_j - h_i], axis=-1
+        )
+        e = Dense(self.dim)(msg_in)
+        e = jnp.tanh(e)
+        e = Dense(self.dim)(e)
+        return masked_aggregate(e, nbr_valid, self.aggr, axis=2)
+
+
+class GraphModel(nn.Module):
+    """Reference ctor parity (gnn.py:26-53); ``neighbors`` is the kNN degree
+    used to build graphs for this model (datautils.py:36 / trainer.py:65)."""
+
+    input_dim: int = 1
+    output_hiddens: Optional[Tuple[int, ...]] = None
+    output_dim: int = 3
+    node_encoder_dims: Optional[Tuple[int, ...]] = None
+    gnn_dim: int = 128
+    encoder_dropout: float = 0.0
+    message_passing_steps: int = 4
+    aggr: str = "sum"
+    neighbors: int = 50
+    scale_factor: float = 1.0
+
+    @property
+    def graph_spec(self):
+        """How the data pipeline must build neighbor lists for this model."""
+        return ("knn", {"k": self.neighbors, "include_self": False})
+
+    @nn.compact
+    def __call__(self, x, nbr_idx, nbr_valid, train: bool = False):
+        """:param x: (B, N, 7) node features [pos | vel | mass].
+        :param nbr_idx: (B, N, k) int32 neighbor indices.
+        :param nbr_valid: (B, N, k) bool neighbor validity.
+        :return: (B, N, output_dim) predicted accelerations.
+        """
+        x = select_input_features(x, self.input_dim)
+        if self.node_encoder_dims:
+            x = MLP(
+                tuple(self.node_encoder_dims) + (self.gnn_dim,),
+                dropout=self.encoder_dropout,
+                norm=None,  # gnn.py:62 passes norm=None
+            )(x, train=train)
+        encoder_output = x
+
+        for _ in range(self.message_passing_steps):
+            x = EdgeConv(self.gnn_dim, self.aggr)(x, nbr_idx, nbr_valid)
+
+        x = jnp.concatenate([encoder_output, x], axis=-1)  # gnn.py:144
+        x = nn.LayerNorm(epsilon=1e-5)(x)  # torch default eps
+        return OutputHead(self.output_hiddens, self.output_dim)(x)
+
+    def get_config(self):
+        """Parity with ``GraphModel.get_config`` (gnn.py:116-128)."""
+        return {
+            "input_dim": self.input_dim,
+            "output_hiddens": self.output_hiddens,
+            "output_dim": self.output_dim,
+            "node_encoder_dims": self.node_encoder_dims,
+            "gnn_dim": self.gnn_dim,
+            "encoder_dropout": self.encoder_dropout,
+            "message_passing_steps": self.message_passing_steps,
+            "aggr": self.aggr,
+            "neighbors": self.neighbors,
+            "scale_factor": self.scale_factor,
+        }
