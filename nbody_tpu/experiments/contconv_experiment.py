@@ -1,0 +1,94 @@
+"""ContConv experiment driver — rebuild of the reference
+``contconv_experiment.py``: same datagen, ContinuousConvModel(filter res
+[6, 4], radius 1.0, 2 layers x 128, encoder [32, 64], decoder [64, 32], scale
+1e6) -> Adam(0.01) + default plateau -> 100 epochs, batch 16 ->
+results/contconv/*.csv (contconv_experiment.py:62-113)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pandas as pd
+
+from nbody_tpu.experiments.common import generate_data, setup_dirs
+from nbody_tpu.models import ContinuousConvModel
+from nbody_tpu.train import PlateauScheduler, Trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", default=".")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--save-every", type=int, default=10)
+    p.add_argument("--sim-steps", type=int, default=1000)
+    p.add_argument("--train-files", type=int, default=10)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.quick:
+        args.epochs = min(args.epochs, 3)
+        args.sim_steps = min(args.sim_steps, 50)
+        args.train_files = min(args.train_files, 2)
+        args.save_every = 1
+
+    paths = setup_dirs("contconv", args.base)
+    n_bodies = [3, 25] if args.quick else None
+    generate_data(paths["train"], num_files=args.train_files,
+                  n_bodies=n_bodies, steps=args.sim_steps, seed=args.seed)
+    generate_data(paths["test"], num_files=1,
+                  n_bodies=n_bodies, steps=args.sim_steps,
+                  seed=None if args.seed is None else args.seed + 1)
+    print("Data generated.")
+
+    # Model config parity: contconv_experiment.py:62-76
+    model = ContinuousConvModel(
+        in_channels=4,
+        out_channels=3,
+        filter_resolution=(6, 4),
+        radius=1.0,
+        agg="mean",
+        self_loops=True,
+        continuous_conv_layers=2,
+        continuous_conv_dim=128,
+        encoder_hiddens=(32, 64),
+        encoder_dropout=0.0,
+        decoder_hiddens=(64, 32),
+        scale_factor=1e6,
+    )
+    scheduler = PlateauScheduler(lr=0.01)  # torch defaults, contconv_experiment.py:79
+    trainer = Trainer(model, learning_rate=0.01, scheduler=scheduler, dt=1e-4)
+    print("Model and trainer initialized.")
+
+    epoch_loss, _ = trainer.train_from_dir(
+        data_path=paths["train"],
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        save_every=args.save_every,
+        save_path=paths["weights"],
+    )
+    pd.DataFrame(epoch_loss, columns=["loss"]).to_csv(
+        os.path.join(paths["results"], "epoch_loss.csv"), index=False
+    )
+    print("Training completed, evaluating model.")
+
+    df_stepwise, df_rollout = trainer.test_from_dir(
+        data_path=paths["test"],
+        model_path=paths["weights"],
+        sim_steps=args.sim_steps,
+        stepwise=True,
+        rollout=True,
+    )
+    df_stepwise.to_csv(
+        os.path.join(paths["results"], "test_results_stepwise.csv"), index=True
+    )
+    df_rollout[["pos_rmse", "vel_rmse", "acc_rmse"]].to_csv(
+        os.path.join(paths["results"], "test_results_rollout.csv"), index=True
+    )
+    print("Training and testing completed. Results saved.")
+
+
+if __name__ == "__main__":
+    main()

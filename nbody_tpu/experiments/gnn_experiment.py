@@ -1,0 +1,97 @@
+"""GNN experiment driver — rebuild of the reference ``gnn_experiment.py``:
+datagen -> GraphModel(4-dim input, 64-dim, 2 message-passing steps, mean aggr,
+k=10, scale 1e6) -> Adam(0.01) + plateau(0.25, 5) -> 100 epochs -> stepwise +
+rollout eval -> results/gnn/*.csv (gnn_experiment.py:22-107).
+
+``--quick`` shrinks everything for smoke runs; defaults reproduce the
+reference configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pandas as pd
+
+from nbody_tpu.experiments.common import generate_data, setup_dirs
+from nbody_tpu.models import GraphModel
+from nbody_tpu.train import PlateauScheduler, Trainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", default=".")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--save-every", type=int, default=10)
+    p.add_argument("--sim-steps", type=int, default=1000)
+    p.add_argument("--train-files", type=int, default=10)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--quick", action="store_true", help="tiny smoke config")
+    args = p.parse_args(argv)
+
+    if args.quick:
+        args.epochs = min(args.epochs, 3)
+        args.sim_steps = min(args.sim_steps, 50)
+        args.train_files = min(args.train_files, 2)
+        args.save_every = 1
+
+    paths = setup_dirs("gnn", args.base)
+    print("Directories created.")
+
+    n_bodies = [3, 25] if args.quick else None
+    generate_data(paths["train"], num_files=args.train_files,
+                  n_bodies=n_bodies, steps=args.sim_steps, seed=args.seed)
+    generate_data(paths["test"], num_files=1,
+                  n_bodies=n_bodies, steps=args.sim_steps,
+                  seed=None if args.seed is None else args.seed + 1)
+    print("Data generated.")
+
+    # Model config parity: gnn_experiment.py:61-72
+    model = GraphModel(
+        input_dim=4,
+        node_encoder_dims=None,
+        encoder_dropout=0.0,
+        gnn_dim=64,
+        message_passing_steps=2,
+        aggr="mean",
+        output_hiddens=None,
+        neighbors=10,
+        scale_factor=1e6,
+    )
+    scheduler = PlateauScheduler(lr=0.01, factor=0.25, patience=5)
+    trainer = Trainer(model, learning_rate=0.01, scheduler=scheduler, dt=1e-4)
+    print("Model and trainer initialized.")
+
+    epoch_loss, _ = trainer.train_from_dir(
+        data_path=paths["train"],
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        save_every=args.save_every,
+        save_path=paths["weights"],
+    )
+    pd.DataFrame(epoch_loss, columns=["loss"]).to_csv(
+        os.path.join(paths["results"], "epoch_loss.csv"), index=False
+    )
+    print("Training completed, evaluating model.")
+
+    df_stepwise, df_rollout = trainer.test_from_dir(
+        data_path=paths["test"],
+        model_path=paths["weights"],
+        sim_steps=args.sim_steps,
+        stepwise=True,
+        rollout=True,
+    )
+    print("Evaluation completed.")
+    df_stepwise.to_csv(
+        os.path.join(paths["results"], "test_results_stepwise.csv"), index=True
+    )
+    df_rollout[["pos_rmse", "vel_rmse", "acc_rmse"]].to_csv(
+        os.path.join(paths["results"], "test_results_rollout.csv"), index=True
+    )
+    print("Training and testing completed. Results saved.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Graph construction dispatch: every model declares a ``graph_spec`` and the
+engine builds the matching padded neighbor lists on device, inside the jitted
+step — replacing the reference's host-side graph builds (``datautils.py:36``
+at load time; ``contconv.py:225`` per forward)."""
+
+from __future__ import annotations
+
+from nbody_tpu.ops.knn import batched_knn_neighbors
+from nbody_tpu.ops.radius import batched_radius_neighbors
+
+
+def build_graph(graph_spec, pos, mask=None):
+    """:param graph_spec: ("knn", {k, include_self}) or
+        ("radius", {radius, k_max, include_self}) from ``model.graph_spec``.
+    :param pos: (B, N, 3) positions.
+    :param mask: optional (B, N) node validity.
+    :return: (idx, valid) padded neighbor lists, both (B, N, k).
+    """
+    kind, kw = graph_spec
+    if kind == "knn":
+        return batched_knn_neighbors(
+            pos, kw["k"], mask=mask, include_self=kw.get("include_self", False)
+        )
+    if kind == "radius":
+        return batched_radius_neighbors(
+            pos,
+            kw["radius"],
+            k_max=kw.get("k_max", 32),
+            mask=mask,
+            include_self=kw.get("include_self", True),
+        )
+    raise ValueError(f"unknown graph spec kind {kind!r}")

@@ -1,0 +1,76 @@
+"""Fully on-chip autoregressive rollout — the flagship eval capability
+(reference ``trainer.py:217-226`` step + ``trainer.py:228-344`` rollout loop).
+
+The reference pays two host/device crossings per step (graph build + .item()
+readbacks, trainer.py:275-312). Here the entire sim_steps rollout is one
+``lax.scan``: the learned force replaces gravity inside the same KDK update,
+neighbor lists are rebuilt from predicted positions on device each step, and
+the full (steps, N, 3) trajectories come back to the host once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.train.graphs import build_graph
+
+
+@partial(jax.jit, static_argnames=("model", "steps", "graph_spec"))
+def autoregressive_rollout(
+    model,
+    variables: Any,
+    pos0: jax.Array,
+    vel0: jax.Array,
+    mass: jax.Array,
+    steps: int,
+    dt: float,
+    graph_spec=None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Roll a single scene forward with the surrogate force model.
+
+    Semantics of ``Trainer.step`` (trainer.py:217-226): half-kick with the
+    previous acceleration, drift, predict a(t+dt) from the drifted positions
+    and half-kicked velocities, half-kick again. The initial acceleration is
+    predicted from the ground-truth step-0 state (trainer.py:238-241).
+
+    NOTE a deliberate divergence: the reference's rollout builds its kNN
+    graphs with ``transform_to_graph``'s default k=50 (gnn.py:11,205) even
+    when the model was trained with k=10 — we default to the model's own
+    ``graph_spec`` (override via ``graph_spec`` for the reference quirk).
+
+    :param graph_spec: hashable ((kind, tuple(kwargs.items()))) override;
+        None uses ``model.graph_spec``.
+    :return: (pos, vel, acc) each (steps, N, 3); row 0 is the initial state
+        with the predicted initial acceleration.
+    """
+    spec = model.graph_spec if graph_spec is None else (
+        (graph_spec[0], dict(graph_spec[1]))
+    )
+    mass_col = mass[:, None]
+
+    def predict(pos, vel):
+        x = jnp.concatenate([pos, vel, mass_col], axis=-1)[None]
+        idx, valid = build_graph(spec, x[..., :3])
+        return model.apply(variables, x, idx, valid, train=False)[0]
+
+    acc0 = predict(pos0, vel0)
+
+    def body(carry, _):
+        pos, vel, acc = carry
+        v_half = vel + 0.5 * dt * acc
+        pos_n = pos + dt * v_half
+        acc_n = predict(pos_n, v_half)
+        vel_n = v_half + 0.5 * dt * acc_n
+        return (pos_n, vel_n, acc_n), (pos_n, vel_n, acc_n)
+
+    _, (ps, vs, accs) = jax.lax.scan(
+        body, (pos0, vel0, acc0), None, length=steps - 1
+    )
+    ps = jnp.concatenate([pos0[None], ps], axis=0)
+    vs = jnp.concatenate([vel0[None], vs], axis=0)
+    accs = jnp.concatenate([acc0[None], accs], axis=0)
+    return ps, vs, accs

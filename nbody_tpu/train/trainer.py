@@ -1,0 +1,376 @@
+"""Training/eval engine — TPU rebuild of the reference ``Trainer``
+(``/root/reference/trainer.py:11-344``).
+
+Semantics parity:
+- ``train_from_dir`` (trainer.py:20-92): per-epoch loop over every CSV in a
+  directory, scaled-RMSE objective, plateau LR scheduling on the mean epoch
+  loss, checkpoint every ``save_every`` epochs, latest-by-step resume.
+- ``test_from_dir`` (trainer.py:94-200): stepwise 1-snapshot timed eval and
+  sim_steps-long autoregressive rollouts, aggregated into the reference's
+  result-table schemas (results/gnn/*.csv).
+
+TPU-native differences: neighbor graphs are built on device inside the jitted
+steps (not on the host at dataset load), the rollout is a single ``lax.scan``
+(trainer.py:275-312 pays host syncs every step), and checkpoints carry full
+training state via Orbax (the reference loses optimizer/scheduler state,
+trainer.py:85-90).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from glob import glob
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from nbody_tpu.data.dataset import BatchIterator, SnapshotDataset
+from nbody_tpu.models.common import masked_mse, scaled_rmse_and_mse
+from nbody_tpu.train.checkpoint import CheckpointManager
+from nbody_tpu.train.graphs import build_graph
+from nbody_tpu.train.optim import PlateauScheduler, make_optimizer
+from nbody_tpu.train.rollout import autoregressive_rollout
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any  # {} when the model has no BatchNorm
+    opt_state: Any
+
+
+class Trainer:
+    """:param model: a flax surrogate exposing ``graph_spec`` and
+        ``scale_factor`` (``GraphModel`` / ``ContinuousConvModel``).
+    :param learning_rate: Adam LR (gnn_experiment.py:74 uses 0.01).
+    :param scheduler: optional :class:`PlateauScheduler` stepped once per
+        epoch on the mean loss (trainer.py:82-83).
+    :param dt: rollout timestep (trainer.py:16).
+    """
+
+    def __init__(
+        self,
+        model,
+        learning_rate: float = 0.01,
+        scheduler: Optional[PlateauScheduler] = None,
+        dt: float = 0.01,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.dt = dt
+        self.tx = make_optimizer(learning_rate)
+        self.scheduler = scheduler
+        self.rng = jax.random.PRNGKey(seed)
+        self.state: Optional[TrainState] = None
+        self.epoch = 0  # resume-aware epoch counter (fixes trainer.py:38)
+        self._has_bn = False
+        self._ds_cache: Dict[str, SnapshotDataset] = {}
+        self._build_steps()
+
+    # ------------------------------------------------------------------ jit
+    def _build_steps(self):
+        model, tx = self.model, self.tx
+        spec = model.graph_spec
+        scale = model.scale_factor
+
+        def variables_of(state: TrainState):
+            v = {"params": state.params}
+            if self._has_bn:
+                v["batch_stats"] = state.batch_stats
+            return v
+
+        def train_step(state, x, y, mask, rng):
+            idx, valid = build_graph(spec, x[..., :3], mask)
+
+            def loss_fn(params):
+                v = {"params": params}
+                if self._has_bn:
+                    v["batch_stats"] = state.batch_stats
+                    pred, mut = model.apply(
+                        v, x, idx, valid, train=True,
+                        rngs={"dropout": rng}, mutable=["batch_stats"],
+                    )
+                else:
+                    pred = model.apply(
+                        v, x, idx, valid, train=True, rngs={"dropout": rng}
+                    )
+                    mut = {}
+                loss, mse = scaled_rmse_and_mse(pred, y, scale, node_mask=mask)
+                return loss, (mse, mut)
+
+            (loss, (mse, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_bs = mut.get("batch_stats", state.batch_stats)
+            return (
+                state.replace(params=params, opt_state=opt_state, batch_stats=new_bs),
+                loss,
+                mse,
+            )
+
+        def eval_step(state, x, y, mask):
+            idx, valid = build_graph(spec, x[..., :3], mask)
+            pred = model.apply(variables_of(state), x, idx, valid, train=False)
+            # stepwise eval uses the RAW rmse, not the scaled one (gnn.py:199)
+            mse = masked_mse(pred, y, mask)
+            return jnp.sqrt(mse), mse
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # ----------------------------------------------------------- state mgmt
+    def _ensure_state(self, batch):
+        if self.state is not None:
+            return
+        x = jnp.asarray(batch.x)
+        idx, valid = build_graph(
+            self.model.graph_spec, x[..., :3], jnp.asarray(batch.node_mask)
+        )
+        self.rng, init_key = jax.random.split(self.rng)
+        variables = self.model.init(init_key, x, idx, valid)
+        self._has_bn = "batch_stats" in variables
+        params = variables["params"]
+        self.state = TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(params),
+        )
+
+    def _set_lr(self, lr: float):
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32
+        )
+
+    def _ckpt_tree(self):
+        tree = {"state": self.state, "epoch": np.asarray(self.epoch, np.int64)}
+        if self.scheduler:
+            tree["scheduler"] = {
+                k: np.asarray(v, np.float64)
+                for k, v in self.scheduler.state_dict().items()
+            }
+        return tree
+
+    def _try_resume(self, save_path: str, batch) -> None:
+        """Latest-by-step resume (trainer.py:38-52), incl. optimizer/scheduler."""
+        self._ensure_state(batch)
+        mgr = CheckpointManager(save_path)
+        step, tree = mgr.restore_latest(self._ckpt_tree())
+        if step is None:
+            print("No checkpoint found")
+            mgr.close()
+            return
+        self.state = tree["state"]
+        self.epoch = int(tree["epoch"])
+        if self.scheduler and "scheduler" in tree:
+            self.scheduler.load_state_dict(
+                {k: float(v) for k, v in tree["scheduler"].items()}
+            )
+            self._set_lr(self.scheduler.lr)
+        print(f"Loaded checkpoint at epoch {self.epoch}")
+        mgr.close()
+
+    def _dataset(self, path: str) -> SnapshotDataset:
+        if path not in self._ds_cache:
+            self._ds_cache[path] = SnapshotDataset.from_file(path)
+        return self._ds_cache[path]
+
+    # -------------------------------------------------------------- training
+    def train_from_dir(
+        self,
+        data_path: str,
+        epochs: int,
+        batch_size: int,
+        save_every: int = 0,
+        save_path: Optional[str] = None,
+        verbose: bool = True,
+    ) -> Tuple[List[float], List[float]]:
+        """Reference ``train_from_dir`` (trainer.py:20-92). Returns
+        (epoch_losses, epoch_mse_losses) — means over all batches."""
+        csv_files = sorted(glob(os.path.join(data_path, "*.csv")))
+        if not csv_files:
+            raise FileNotFoundError(f"no CSVs under {data_path}")
+
+        first_ds = self._dataset(csv_files[0])
+        first_batch = next(iter(BatchIterator(first_ds, batch_size, shuffle=False)))
+        if save_path:
+            self._try_resume(save_path, first_batch)
+        else:
+            self._ensure_state(first_batch)
+
+        mgr = CheckpointManager(save_path) if (save_path and save_every > 0) else None
+        epoch_losses: List[float] = []
+        epoch_mse_losses: List[float] = []
+        for e in range(epochs):
+            losses, mses, weights = [], [], []
+            for f in csv_files:
+                ds = self._dataset(f)
+                it = BatchIterator(
+                    ds, batch_size, shuffle=True, seed=self.epoch * 7919 + hash(f) % 1000
+                )
+                for batch in it:
+                    self.rng, key = jax.random.split(self.rng)
+                    self.state, loss, mse = self._train_step(
+                        self.state,
+                        jnp.asarray(batch.x),
+                        jnp.asarray(batch.y),
+                        jnp.asarray(batch.node_mask),
+                        key,
+                    )
+                    losses.append(loss)
+                    mses.append(mse)
+            mean_loss = float(np.mean([float(l) for l in losses]))
+            mean_mse = float(np.mean([float(m) for m in mses]))
+            epoch_losses.append(mean_loss)
+            epoch_mse_losses.append(mean_mse)
+            self.epoch += 1
+            if verbose:
+                print(f"Epoch {self.epoch}: loss {mean_loss:.6g}, mse {mean_mse:.6g}")
+            if self.scheduler:
+                self._set_lr(self.scheduler.step(mean_loss))
+            if mgr and save_every > 0 and (e + 1) % save_every == 0:
+                mgr.save(self.epoch, self._ckpt_tree())
+                if verbose:
+                    print(f"Saved checkpoint at epoch {self.epoch}")
+        if mgr:
+            mgr.close()
+        return epoch_losses, epoch_mse_losses
+
+    # ------------------------------------------------------------------ eval
+    def test_from_dir(
+        self,
+        data_path: str,
+        model_path: Optional[str] = None,
+        sim_steps: int = 1000,
+        stepwise: bool = True,
+        rollout: bool = True,
+        rollout_graph_spec=None,
+    ):
+        """Reference ``test_from_dir`` (trainer.py:94-200). Returns
+        (df_stepwise grouped by (filename, scene) with mean loss/step_time,
+        df_rollout indexed (filename, scene, step) with pos/vel/acc RMSE)."""
+        import pandas as pd
+
+        csv_files = sorted(glob(os.path.join(data_path, "*.csv")))
+        if not csv_files:
+            raise FileNotFoundError(f"no CSVs under {data_path}")
+
+        if model_path:
+            first_ds = self._dataset(csv_files[0])
+            first_batch = next(iter(BatchIterator(first_ds, 1, shuffle=False)))
+            self._try_resume(model_path, first_batch)
+        assert self.state is not None, "no trained/loaded state"
+
+        stepwise_rows = []
+        rollout_frames = []
+        for f in csv_files:
+            filename = os.path.basename(f)
+            ds = self._dataset(f)
+            if stepwise:
+                stepwise_rows.extend(self._evaluate_stepwise(filename, ds))
+            if rollout:
+                for scene in ds.scene_ids():
+                    rollout_frames.append(
+                        self._evaluate_rollout(
+                            filename, ds, scene, sim_steps, rollout_graph_spec
+                        )
+                    )
+
+        df_stepwise = pd.DataFrame(
+            stepwise_rows,
+            columns=["filename", "scene", "step", "loss", "mse_loss", "step_time"],
+        )
+        df_stepwise_grouped = (
+            df_stepwise.groupby(["filename", "scene"]).mean()[["loss", "step_time"]]
+            if len(df_stepwise)
+            else df_stepwise
+        )
+        df_rollout = (
+            pd.concat(rollout_frames).set_index(["filename", "scene", "step"])
+            if rollout_frames
+            else pd.DataFrame()
+        )
+        return df_stepwise_grouped, df_rollout
+
+    def _evaluate_stepwise(self, filename: str, ds: SnapshotDataset):
+        """Timed 1-snapshot forwards (trainer.py:202-215). The first call per
+        snapshot shape is compile-warmed before timing."""
+        rows = []
+        warmed = set()
+        for batch in BatchIterator(ds, 1, shuffle=False):
+            x = jnp.asarray(batch.x)
+            y = jnp.asarray(batch.y)
+            m = jnp.asarray(batch.node_mask)
+            shape = x.shape
+            if shape not in warmed:
+                jax.block_until_ready(self._eval_step(self.state, x, y, m))
+                warmed.add(shape)
+            t0 = time.perf_counter()
+            loss, mse = self._eval_step(self.state, x, y, m)
+            jax.block_until_ready(loss)
+            step_time = time.perf_counter() - t0
+            rows.append(
+                (
+                    filename,
+                    int(batch.scene[0]),
+                    int(batch.step[0]),
+                    float(loss),
+                    float(mse),
+                    step_time,
+                )
+            )
+        return rows
+
+    def _evaluate_rollout(
+        self, filename: str, ds: SnapshotDataset, scene: int, sim_steps: int,
+        rollout_graph_spec=None,
+    ):
+        """On-chip rollout vs ground truth, aggregated exactly like the
+        reference (trainer.py:179-199): per (step) mean of *signed* errors
+        over particles, then RMSE across the 3 components of those means."""
+        import pandas as pd
+
+        gt = ds.scene_trajectory(scene)
+        steps = min(sim_steps, gt.pos.shape[0])
+        variables = {"params": self.state.params}
+        if self._has_bn:
+            variables["batch_stats"] = self.state.batch_stats
+
+        t0 = time.perf_counter()
+        ps, vs, accs = autoregressive_rollout(
+            self.model,
+            variables,
+            jnp.asarray(gt.pos[0]),
+            jnp.asarray(gt.vel[0]),
+            jnp.asarray(gt.mass),
+            steps,
+            self.dt,
+            graph_spec=rollout_graph_spec,
+        )
+        jax.block_until_ready(ps)
+        step_time = (time.perf_counter() - t0) / steps
+
+        err_pos = gt.pos[:steps] - np.asarray(ps)  # (steps, N, 3) signed
+        err_vel = gt.vel[:steps] - np.asarray(vs)
+        err_acc = gt.acc[:steps] - np.asarray(accs)
+
+        def rmse_of_mean(err):
+            mean_err = err.mean(axis=1)  # mean over particles (groupby .mean())
+            return np.sqrt((mean_err**2).mean(axis=-1))  # over x,y,z
+
+        return pd.DataFrame(
+            {
+                "filename": filename,
+                "scene": scene,
+                "step": np.arange(steps),
+                "pos_rmse": rmse_of_mean(err_pos),
+                "vel_rmse": rmse_of_mean(err_vel),
+                "acc_rmse": rmse_of_mean(err_acc),
+                "step_time": step_time,
+            }
+        )
