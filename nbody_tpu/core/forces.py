@@ -81,15 +81,28 @@ def kinetic_energy(vel, mass, mask=None):
     return jnp.sum(k)
 
 
-def potential_energy(pos, mass, g_const, softening, mask=None):
+# Above this size the dense (N, N) energy matrix stops fitting; stream row
+# chunks instead (exact, O(chunk * N) memory).
+_ENERGY_CHUNK_THRESHOLD = 4096
+_ENERGY_CHUNK = 1024
+
+
+def potential_energy(pos, mass, g_const, softening, mask=None, chunk_size=None):
     """Total pairwise potential energy (reference ``simulation.py:104-113``):
 
         U = -G * sum_{i<j} m_i m_j / (|r_i - r_j| + eps)
 
     Note the reference softens PE by *adding eps to the distance* (not in
-    quadrature); we reproduce that choice exactly.
+    quadrature); we reproduce that choice exactly. Large N automatically
+    streams row chunks so the (N, N) pair matrix is never materialised.
     """
     n = pos.shape[0]
+    if chunk_size is None:
+        chunk_size = n if n <= _ENERGY_CHUNK_THRESHOLD else _ENERGY_CHUNK
+    if chunk_size < n:
+        return _potential_energy_chunked(
+            pos, mass, g_const, softening, mask, chunk_size
+        )
     dist = jnp.sqrt(_pairwise_d2(pos)) + jnp.asarray(softening, pos.dtype)
     mm = mass[:, None] * mass[None, :]
     if mask is not None:
@@ -99,6 +112,39 @@ def potential_energy(pos, mass, g_const, softening, mask=None):
     iu = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
     pair = jnp.where(iu, -mm / dist, 0.0)
     return jnp.asarray(g_const, pos.dtype) * jnp.sum(pair)
+
+
+def _potential_energy_chunked(pos, mass, g_const, softening, mask, chunk_size):
+    """Row-chunk streamed PE: each chunk contributes its strict-upper-triangle
+    pairs against the full particle set (global column > global row)."""
+    n = pos.shape[0]
+    n_pad = -(-n // chunk_size) * chunk_size
+    posp = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+    massp = jnp.pad(mass, (0, n_pad - n))
+    if mask is not None:
+        massp = massp * jnp.pad(mask.astype(mass.dtype), (0, n_pad - n))
+    eps = jnp.asarray(softening, pos.dtype)
+    cols = jnp.arange(n)
+
+    def one_chunk(start):
+        rows = start + jnp.arange(chunk_size)
+        pr = jax.lax.dynamic_slice(posp, (start, 0), (chunk_size, 3))
+        mr = jax.lax.dynamic_slice(massp, (start,), (chunk_size,))
+        sqr = jnp.sum(pr * pr, axis=-1)
+        sq = jnp.sum(pos * pos, axis=-1)
+        d2 = (
+            sqr[:, None]
+            + sq[None, :]
+            - 2.0 * jnp.matmul(pr, pos.T, precision=_HI)
+        )
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0)) + eps
+        mm = mr[:, None] * (massp[:n])[None, :]
+        upper = cols[None, :] > rows[:, None]
+        return jnp.sum(jnp.where(upper, -mm / dist, 0.0))
+
+    starts = jnp.arange(n_pad // chunk_size) * chunk_size
+    partials = jax.lax.map(one_chunk, starts)
+    return jnp.asarray(g_const, pos.dtype) * jnp.sum(partials)
 
 
 def energies(pos, vel, mass, g_const, softening, mask=None):

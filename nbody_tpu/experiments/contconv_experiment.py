@@ -62,15 +62,18 @@ def main(argv=None):
     trainer = Trainer(model, learning_rate=0.01, scheduler=scheduler, dt=1e-4)
     print("Model and trainer initialized.")
 
+    loss_csv = os.path.join(paths["results"], "epoch_loss.csv")
+
+    def _persist_losses(epoch, losses, mses):
+        pd.DataFrame(losses, columns=["loss"]).to_csv(loss_csv, index=False)
+
     epoch_loss, _ = trainer.train_from_dir(
         data_path=paths["train"],
         epochs=args.epochs,
         batch_size=args.batch_size,
         save_every=args.save_every,
         save_path=paths["weights"],
-    )
-    pd.DataFrame(epoch_loss, columns=["loss"]).to_csv(
-        os.path.join(paths["results"], "epoch_loss.csv"), index=False
+        on_epoch_end=_persist_losses,
     )
     print("Training completed, evaluating model.")
 

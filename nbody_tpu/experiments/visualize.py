@@ -1,0 +1,149 @@
+"""Results visualization — script rebuild of the reference
+``results_visualization.ipynb`` (9 cells): renders the four figures from the
+results CSVs into ``figures/``:
+
+- ``loss.png``           loss-vs-epoch curves, / scale_factor (cell 2)
+- ``stepwise_loss.png``  per-scene 1-step loss bars (cells 3-4)
+- ``stepwise_time.png``  per-scene surrogate step-time bars vs the classical
+                         leapfrog step time read from the test CSVs (cell 5)
+- ``rollout.png``        grid of pos/vel/acc RMSE rollout curves (cells 6-7)
+
+Usage: python -m nbody_tpu.experiments.visualize --base <dir with results/>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+
+SCALE = 1e6  # training scale factor undone for plotting (notebook cell 2)
+
+
+def _load(base, name, fname):
+    p = os.path.join(base, "results", name, fname)
+    return pd.read_csv(p) if os.path.exists(p) else None
+
+
+def _scene_n_bodies(base):
+    """n_bodies and classical step_time per test scene, from the test CSVs
+    (notebook cell 3 reads the ground-truth step_time the same way)."""
+    out = {}
+    for f in sorted(glob(os.path.join(base, "data", "test", "*.csv"))):
+        df = pd.read_csv(f, usecols=["scene", "step", "step_time"])
+        head = df[df["step"] == 0]
+        sizes = head.groupby("scene").size()
+        times = df.groupby("scene")["step_time"].mean()
+        for scene, n in sizes.items():
+            out[int(scene)] = (int(n), float(times.loc[scene]))
+    return out
+
+
+def plot_loss(base, names, outdir):
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for name in names:
+        df = _load(base, name, "epoch_loss.csv")
+        if df is None:
+            continue
+        ax.plot(np.arange(1, len(df) + 1), df["loss"] / SCALE, label=name)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("train RMSE (raw acc units)")
+    ax.set_yscale("log")
+    ax.legend()
+    ax.set_title("Training loss")
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, "loss.png"), dpi=120)
+    plt.close(fig)
+
+
+def plot_stepwise(base, names, outdir):
+    scene_info = _scene_n_bodies(base)
+    width = 0.35
+    for metric, fname, ylabel, with_gt in [
+        ("loss", "stepwise_loss.png", "1-step acc RMSE", False),
+        ("step_time", "stepwise_time.png", "step time (s)", True),
+    ]:
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for i, name in enumerate(names):
+            df = _load(base, name, "test_results_stepwise.csv")
+            if df is None:
+                continue
+            scenes = df["scene"].to_numpy()
+            xs = np.arange(len(scenes))
+            ax.bar(xs + i * width, df[metric], width, label=name)
+        if with_gt and scene_info:
+            xs = np.arange(len(scene_info))
+            ax.bar(
+                xs + len(names) * width,
+                [scene_info[s][1] for s in sorted(scene_info)],
+                width,
+                label="leapfrog (ground truth)",
+                color="green",
+            )
+        if scene_info:
+            ax.set_xticks(np.arange(len(scene_info)) + width / 2)
+            ax.set_xticklabels([scene_info[s][0] for s in sorted(scene_info)])
+        ax.set_xlabel("n_bodies")
+        ax.set_ylabel(ylabel)
+        ax.set_yscale("log")
+        ax.legend()
+        ax.set_title(f"Stepwise {metric}")
+        fig.tight_layout()
+        fig.savefig(os.path.join(outdir, fname), dpi=120)
+        plt.close(fig)
+
+
+def plot_rollout(base, names, outdir):
+    dfs = {n: _load(base, n, "test_results_rollout.csv") for n in names}
+    dfs = {n: d for n, d in dfs.items() if d is not None}
+    if not dfs:
+        return
+    any_df = next(iter(dfs.values()))
+    scenes = sorted(any_df["scene"].unique())
+    scene_info = _scene_n_bodies(base)
+    cols = ["pos_rmse", "vel_rmse", "acc_rmse"]
+    fig, axes = plt.subplots(
+        len(scenes), 3, figsize=(12, 2.2 * len(scenes)), squeeze=False
+    )
+    for r, scene in enumerate(scenes):
+        for c, col in enumerate(cols):
+            ax = axes[r][c]
+            for name, df in dfs.items():
+                sub = df[df["scene"] == scene]
+                ax.plot(sub["step"], sub[col], label=name, lw=0.8)
+            ax.set_yscale("log")
+            if r == 0:
+                ax.set_title(col)
+            if c == 0:
+                n = scene_info.get(scene, ("?",))[0]
+                ax.set_ylabel(f"scene {scene}\n(n={n})")
+            if r == len(scenes) - 1:
+                ax.set_xlabel("rollout step")
+    axes[0][0].legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, "rollout.png"), dpi=120)
+    plt.close(fig)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", default=".")
+    p.add_argument("--models", nargs="+", default=["gnn", "contconv"])
+    args = p.parse_args(argv)
+    outdir = os.path.join(args.base, "figures")
+    os.makedirs(outdir, exist_ok=True)
+    plot_loss(args.base, args.models, outdir)
+    plot_stepwise(args.base, args.models, outdir)
+    plot_rollout(args.base, args.models, outdir)
+    print(f"figures written to {outdir}")
+
+
+if __name__ == "__main__":
+    main()

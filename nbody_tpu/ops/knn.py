@@ -30,24 +30,40 @@ def _pairwise_d2(pos):
     return jnp.sum(diff * diff, axis=-1)
 
 
+# Above this size the (N, N) distance matrix stops fitting comfortably and we
+# stream row chunks instead (exact result, O(chunk * N) memory).
+_CHUNKED_THRESHOLD = 4096
+_DEFAULT_CHUNK = 1024
+
+
 def knn_neighbors(
     pos: jax.Array,
     k: int,
     mask: Optional[jax.Array] = None,
     include_self: bool = False,
+    chunk_size: Optional[int] = None,
+    approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """k nearest neighbors of every particle (dense O(N^2) + ``lax.top_k``).
+    """k nearest neighbors of every particle: dense O(N^2) distances +
+    ``lax.top_k`` for small N, a streamed row-chunk scan for large N
+    (100k-body scale — SURVEY.md §7 hard part (a)).
 
     :param pos: (N, 3) positions.
     :param k: neighbor count (static).
     :param mask: optional (N,) validity for padded slots.
     :param include_self: count the particle itself as its nearest neighbor
         (PyG ``loop=True``).
+    :param chunk_size: row-chunk size for the streamed path; None picks
+        automatically (dense below ~4k bodies).
     :return: (idx, valid) — (N, k) int32 neighbor indices and (N, k) bool
         validity. Invalid slots point at index 0; always apply the mask.
     """
     n = pos.shape[0]
     k = min(k, n)
+    if chunk_size is None:
+        chunk_size = n if n <= _CHUNKED_THRESHOLD else _DEFAULT_CHUNK
+    if chunk_size < n:
+        return _knn_chunked(pos, k, mask, include_self, chunk_size, approx=approx)
     d2 = _pairwise_d2(pos)
     eye = jnp.eye(n, dtype=bool)
     if not include_self:
@@ -61,6 +77,57 @@ def knn_neighbors(
         valid = valid & mask.astype(bool)[:, None]  # padded rows have no nbrs
     idx = jnp.where(valid, idx, 0)
     return idx.astype(jnp.int32), valid
+
+
+def _knn_chunked(pos, k, mask, include_self, chunk_size, approx=False):
+    """Exact kNN over row chunks: each chunk computes its (chunk, Npad)
+    distance block (norm-expansion form — no (chunk, N, 3) temporary) and
+    top_k's it. Memory O(chunk * N); one compile, sequential chunks via
+    ``lax.map``. Columns are lane-padded to a multiple of 128 — an unaligned
+    column count makes every chunk matmul ~10x slower on TPU.
+
+    ``approx`` switches top_k to ``jax.lax.approx_max_k`` (TPU-optimised,
+    recall ~0.95) — ~3.5x faster selection for 100k-body surrogate graphs.
+    """
+    n = pos.shape[0]
+    n_rows = -(-n // chunk_size) * chunk_size
+    n_cols = -(-n // 128) * 128
+    posp_r = jnp.pad(pos, ((0, n_rows - n), (0, 0)))
+    posp_c = jnp.pad(pos, ((0, n_cols - n), (0, 0)))
+    col_valid = jnp.arange(n_cols) < n
+    if mask is not None:
+        col_valid = col_valid & jnp.pad(mask.astype(bool), (0, n_cols - n))
+    sq = jnp.sum(posp_c * posp_c, axis=-1)
+    cols = jnp.arange(n_cols)[None, :]
+
+    starts = jnp.arange(n_rows // chunk_size) * chunk_size
+
+    def one_chunk(start):
+        rows = start + jnp.arange(chunk_size)
+        pr = jax.lax.dynamic_slice(posp_r, (start, 0), (chunk_size, 3))
+        sqr = jnp.sum(pr * pr, axis=-1)
+        d2 = (
+            sqr[:, None]
+            + sq[None, :]
+            - 2.0 * jnp.matmul(pr, posp_c.T, precision=jax.lax.Precision.HIGHEST)
+        )
+        d2 = jnp.maximum(d2, 0.0)
+        if not include_self:
+            d2 = jnp.where(cols == rows[:, None], _INF, d2)
+        d2 = jnp.where(col_valid[None, :], d2, _INF)
+        if approx:
+            neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+        else:
+            neg, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), neg > -_INF
+
+    idx, valid = jax.lax.map(one_chunk, starts)
+    idx = idx.reshape(n_rows, k)[:n]
+    valid = valid.reshape(n_rows, k)[:n]
+    if mask is not None:
+        valid = valid & mask.astype(bool)[:, None]
+    idx = jnp.where(valid, idx, 0)
+    return idx, valid
 
 
 def batched_knn_neighbors(pos, k, mask=None, include_self=False):

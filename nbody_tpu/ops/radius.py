@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from nbody_tpu.ops.knn import _pairwise_d2, _INF
+from nbody_tpu.ops.knn import knn_neighbors
 
 
 def radius_neighbors(
@@ -24,6 +24,7 @@ def radius_neighbors(
     k_max: int = 32,
     mask: Optional[jax.Array] = None,
     include_self: bool = True,
+    chunk_size: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Neighbors within ``radius``, padded to ``(N, k_max)``.
 
@@ -33,21 +34,20 @@ def radius_neighbors(
     :param mask: optional (N,) validity for padded slots.
     :param include_self: include the self edge (PyG ``loop=True``; the
         reference ContConv uses ``self_loops=True``, ``contconv.py:109,225``).
+    :param chunk_size: forwarded to the large-N streamed kNN path.
     :return: (idx, valid) — (N, k_max) int32 indices, (N, k_max) bool mask.
     """
     n = pos.shape[0]
     k_max = min(k_max, n)
-    d2 = _pairwise_d2(pos)
-    if not include_self:
-        d2 = jnp.where(jnp.eye(n, dtype=bool), _INF, d2)
-    if mask is not None:
-        m = mask.astype(bool)
-        d2 = jnp.where(m[None, :], d2, _INF)
-    neg_d2, idx = jax.lax.top_k(-d2, k_max)
-    r2 = jnp.asarray(radius, d2.dtype) ** 2
-    valid = -neg_d2 < r2
-    if mask is not None:
-        valid = valid & mask.astype(bool)[:, None]
+    # Nearest-k_max first (shares the dense/streamed kNN machinery), then the
+    # radius cutoff — this is exactly "nearest k_max within r".
+    idx, valid = knn_neighbors(
+        pos, k_max, mask=mask, include_self=include_self, chunk_size=chunk_size
+    )
+    d2_sel = jnp.sum(
+        (pos[idx] - pos[:, None, :]) ** 2, axis=-1
+    )  # (N, k_max) exact distances of the selected candidates
+    valid = valid & (d2_sel < jnp.asarray(radius, d2_sel.dtype) ** 2)
     idx = jnp.where(valid, idx, 0)
     return idx.astype(jnp.int32), valid
 

@@ -189,9 +189,14 @@ class Trainer:
         save_every: int = 0,
         save_path: Optional[str] = None,
         verbose: bool = True,
+        on_epoch_end=None,
     ) -> Tuple[List[float], List[float]]:
         """Reference ``train_from_dir`` (trainer.py:20-92). Returns
-        (epoch_losses, epoch_mse_losses) — means over all batches."""
+        (epoch_losses, epoch_mse_losses) — means over all batches.
+
+        :param on_epoch_end: optional callback
+            ``(epoch, epoch_losses, epoch_mse_losses) -> None`` — e.g. for
+            incremental metrics persistence."""
         csv_files = sorted(glob(os.path.join(data_path, "*.csv")))
         if not csv_files:
             raise FileNotFoundError(f"no CSVs under {data_path}")
@@ -237,6 +242,8 @@ class Trainer:
                 mgr.save(self.epoch, self._ckpt_tree())
                 if verbose:
                     print(f"Saved checkpoint at epoch {self.epoch}")
+            if on_epoch_end is not None:
+                on_epoch_end(self.epoch, epoch_losses, epoch_mse_losses)
         if mgr:
             mgr.close()
         return epoch_losses, epoch_mse_losses
