@@ -19,7 +19,6 @@ trainer.py:85-90).
 from __future__ import annotations
 
 import os
-import time
 from glob import glob
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -35,6 +34,7 @@ from nbody_tpu.train.checkpoint import CheckpointManager
 from nbody_tpu.train.graphs import build_graph
 from nbody_tpu.train.optim import PlateauScheduler, make_optimizer
 from nbody_tpu.train.rollout import autoregressive_rollout
+from nbody_tpu.utils.timing import device_time, fetch_scalar
 
 
 class TrainState(struct.PyTreeNode):
@@ -69,6 +69,7 @@ class Trainer:
         self.epoch = 0  # resume-aware epoch counter (fixes trainer.py:38)
         self._has_bn = False
         self._ds_cache: Dict[str, SnapshotDataset] = {}
+        self._rollout_warmed: set = set()
         self._build_steps()
 
     # ------------------------------------------------------------------ jit
@@ -315,12 +316,11 @@ class Trainer:
             m = jnp.asarray(batch.node_mask)
             shape = x.shape
             if shape not in warmed:
-                jax.block_until_ready(self._eval_step(self.state, x, y, m))
+                fetch_scalar(self._eval_step(self.state, x, y, m)[0])
                 warmed.add(shape)
-            t0 = time.perf_counter()
-            loss, mse = self._eval_step(self.state, x, y, m)
-            jax.block_until_ready(loss)
-            step_time = time.perf_counter() - t0
+            (loss, mse), step_time = device_time(
+                lambda: self._eval_step(self.state, x, y, m)
+            )
             rows.append(
                 (
                     filename,
@@ -348,19 +348,24 @@ class Trainer:
         if self._has_bn:
             variables["batch_stats"] = self.state.batch_stats
 
-        t0 = time.perf_counter()
-        ps, vs, accs = autoregressive_rollout(
-            self.model,
-            variables,
-            jnp.asarray(gt.pos[0]),
-            jnp.asarray(gt.vel[0]),
-            jnp.asarray(gt.mass),
-            steps,
-            self.dt,
-            graph_spec=rollout_graph_spec,
-        )
-        jax.block_until_ready(ps)
-        step_time = (time.perf_counter() - t0) / steps
+        def run():
+            return autoregressive_rollout(
+                self.model,
+                variables,
+                jnp.asarray(gt.pos[0]),
+                jnp.asarray(gt.vel[0]),
+                jnp.asarray(gt.mass),
+                steps,
+                self.dt,
+                graph_spec=rollout_graph_spec,
+            )
+
+        key = ("rollout", gt.pos.shape[1], steps)
+        if key not in self._rollout_warmed:
+            fetch_scalar(run()[0])  # compile warm-up; reference step_time
+            self._rollout_warmed.add(key)  # excludes compilation too
+        (ps, vs, accs), elapsed = device_time(run)
+        step_time = elapsed / steps
 
         err_pos = gt.pos[:steps] - np.asarray(ps)  # (steps, N, 3) signed
         err_vel = gt.vel[:steps] - np.asarray(vs)
