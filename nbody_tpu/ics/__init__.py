@@ -1,6 +1,7 @@
 from nbody_tpu.ics.profiles import spherical_hernquist_distribution
 from nbody_tpu.ics.disk import generate_disk
 from nbody_tpu.ics.spiral import generate_spiral
+from nbody_tpu.ics.compose import compose
 
 GENERATORS = {"disk": generate_disk, "spiral": generate_spiral}
 
@@ -8,5 +9,6 @@ __all__ = [
     "spherical_hernquist_distribution",
     "generate_disk",
     "generate_spiral",
+    "compose",
     "GENERATORS",
 ]

@@ -111,8 +111,16 @@ def pallas_partial_accelerations(
     ni, nj = pos_i.shape[0], pos_j.shape[0]
     ti = min(tile_i, _round_up(ni, 8))
     tj = min(tile_j, _round_up(nj, 128))
-    assert ni % ti == 0 and nj % tj == 0, (ni, ti, nj, tj)
-    grid = (ni // ti, nj // tj)
+    ni_pad = _round_up(ni, ti)
+    nj_pad = _round_up(nj, tj)
+    if ni_pad != ni:
+        pos_i = jnp.pad(pos_i, ((0, ni_pad - ni), (0, 0)))
+    if nj_pad != nj:
+        # zero-mass padding sources exert no force; padded col local indices
+        # can collide with diag_delta but that only masks a zero-mass pair
+        pos_j = jnp.pad(pos_j, ((0, nj_pad - nj), (0, 0)))
+        mass_j = jnp.pad(mass_j, (0, nj_pad - nj))
+    grid = (ni_pad // ti, nj_pad // tj)
 
     fscal = jnp.stack(
         [jnp.asarray(g_const, jnp.float32), jnp.asarray(softening, jnp.float32)]
@@ -130,14 +138,14 @@ def pallas_partial_accelerations(
             pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ti, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ni, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ni_pad, 3), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=15 * ni * nj,
-            bytes_accessed=nj * 16 * grid[0] + ni * 12,
-            transcendentals=ni * nj,  # rsqrt
+            flops=15 * ni_pad * nj_pad,
+            bytes_accessed=nj_pad * 16 * grid[0] + ni_pad * 12,
+            transcendentals=ni_pad * nj_pad,  # rsqrt
         ),
         interpret=interpret,
-    )(fscal, delta, pos_i, pos_j.T, mass_j[None, :])
+    )(fscal, delta, pos_i, pos_j.T, mass_j[None, :])[:ni]
 
 
 @partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))

@@ -57,14 +57,34 @@ def _block_accelerations_dense(pos_i, pos_j, mass_j, g_const, softening, diag_de
 def _block_accelerations_pallas(pos_i, pos_j, mass_j, g_const, softening, diag_delta):
     from nbody_tpu.ops.pairwise import pallas_partial_accelerations
 
+    n = pos_i.shape[0]
+    tile = min(256, -(-n // 128) * 128)
     return pallas_partial_accelerations(
-        pos_i, pos_j, mass_j, g_const, softening, diag_delta=diag_delta
+        pos_i, pos_j, mass_j, g_const, softening, diag_delta=diag_delta,
+        tile_i=tile, tile_j=tile,
+    )
+
+
+def _block_accelerations_pallas_interpret(
+    pos_i, pos_j, mass_j, g_const, softening, diag_delta
+):
+    """Interpreter-mode Pallas block — validates the cross-shard diag_delta
+    kernel logic on the CPU test mesh (SURVEY.md §5.2: interpret mode as the
+    kernel 'sanitizer')."""
+    from nbody_tpu.ops.pairwise import pallas_partial_accelerations
+
+    n = pos_i.shape[0]
+    tile = min(256, -(-n // 128) * 128)
+    return pallas_partial_accelerations(
+        pos_i, pos_j, mass_j, g_const, softening, diag_delta=diag_delta,
+        tile_i=tile, tile_j=tile, interpret=True,
     )
 
 
 _BLOCK_BACKENDS = {
     "dense": _block_accelerations_dense,
     "pallas": _block_accelerations_pallas,
+    "pallas_interpret": _block_accelerations_pallas_interpret,
 }
 
 

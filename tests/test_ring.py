@@ -52,3 +52,15 @@ def test_ring_simulate_matches_dense_simulate(mesh8):
     np.testing.assert_allclose(
         np.asarray(v_r), np.asarray(traj.velocities[-1]), rtol=1e-4, atol=1e-6
     )
+
+
+def test_ring_pallas_interpret_matches_dense(mesh8):
+    """Cross-shard diag_delta logic of the Pallas kernel, via interpret mode
+    on the CPU mesh."""
+    pos, _, mass = _system(128, seed=5)
+    ring_p = np.asarray(
+        ring_accelerations(pos, mass, G, EPS, mesh8, backend="pallas_interpret")
+    )
+    dense = np.asarray(pairwise_accelerations(pos, mass, G, EPS))
+    scale = np.abs(dense).max()
+    np.testing.assert_allclose(ring_p / scale, dense / scale, atol=2e-5)
