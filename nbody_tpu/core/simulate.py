@@ -84,6 +84,32 @@ def make_acc_fn(
     )
 
 
+def _resolve_backend(config: SimulationConfig, n: int) -> str:
+    if config.force_backend != "auto":
+        return config.force_backend
+    on_tpu = jax.default_backend() == "tpu"
+    return "pallas" if (on_tpu and n >= _PALLAS_AUTO_THRESHOLD) else "dense"
+
+
+def make_energy_fn(mass, config: SimulationConfig, mask=None, n=None):
+    """(pos, vel) -> (U, K); uses the Pallas PE kernel on the same backend
+    decision as the forces (dense/chunked XLA otherwise)."""
+    backend = _resolve_backend(config, n if n is not None else mass.shape[-1])
+    if backend == "pallas":
+        from nbody_tpu.ops.pairwise import pallas_potential_energy
+
+        def fn(pos, vel):
+            u = pallas_potential_energy(
+                pos, mass, config.g_const, config.softening, mask=mask
+            )
+            return u, forces.kinetic_energy(vel, mass, mask)
+
+        return fn
+    return lambda pos, vel: forces.energies(
+        pos, vel, mass, config.g_const, config.softening, mask=mask
+    )
+
+
 @partial(jax.jit, static_argnames=("steps", "config"))
 def simulate(
     pos: jax.Array,
@@ -110,6 +136,7 @@ def simulate(
     mass = jnp.asarray(mass, jnp.float32)
 
     acc_fn = make_acc_fn(mass, config, mask=mask, n=pos.shape[0])
+    energy_fn = make_energy_fn(mass, config, mask=mask, n=pos.shape[0])
     step_fn = INTEGRATORS[config.integrator]
     dt = jnp.float32(config.dt)
 
@@ -117,9 +144,7 @@ def simulate(
         p, v, a = carry
         p, v, a = step_fn(p, v, a, acc_fn, dt)
         if config.calc_energy:
-            u, k = forces.energies(
-                p, v, mass, config.g_const, config.softening, mask=mask
-            )
+            u, k = energy_fn(p, v)
         else:
             u = k = jnp.float32(0)
         return (p, v, a), (p, v, a, u, k)

@@ -89,6 +89,97 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _energy_kernel(fscal_ref, pos_i_ref, posT_j_ref, mass_i_ref, massT_j_ref, u_ref):
+    """One (i, j) tile of the pairwise potential energy
+    U = -G sum_{i<j} m_i m_j / (d_ij + eps)  (simulation.py:104-113).
+    The strict-upper-triangle mask runs on *global* indices so each unordered
+    pair is counted exactly once across the whole grid.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ti = pos_i_ref.shape[0]
+    tj = posT_j_ref.shape[1]
+    eps = fscal_ref[1]
+
+    xi = pos_i_ref[:, 0:1]
+    yi = pos_i_ref[:, 1:2]
+    zi = pos_i_ref[:, 2:3]
+    dx = posT_j_ref[0:1, :] - xi
+    dy = posT_j_ref[1:2, :] - yi
+    dz = posT_j_ref[2:3, :] - zi
+    # floor avoids 0/0 NaNs for coincident zero-mass padding when eps == 0
+    dist = jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz) + eps, 1e-30)
+
+    mm = mass_i_ref[:, 0:1] * massT_j_ref[0:1, :]  # (TI, TJ)
+    row_g = i * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    col_g = j * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    pair = jnp.where(row_g < col_g, -mm / dist, 0.0)
+    partial = jnp.sum(pair)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        u_ref[0, 0] = jnp.float32(0)
+
+    u_ref[0, 0] = u_ref[0, 0] + partial
+
+
+@partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def pallas_potential_energy(
+    pos: jax.Array,
+    mass: jax.Array,
+    g_const,
+    softening,
+    mask: Optional[jax.Array] = None,
+    tile_i: int = 512,
+    tile_j: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Total pairwise PE via the tiled kernel — numerically equivalent to
+    ``core.forces.potential_energy`` with O(N) memory (the dense path
+    materialises an (N, N) matrix; the chunked path streams (chunk, N)
+    blocks through XLA — this keeps everything in VMEM tiles)."""
+    n = pos.shape[0]
+    pos = jnp.asarray(pos, jnp.float32)
+    mass = jnp.asarray(mass, jnp.float32)
+    if mask is not None:
+        mass = mass * mask.astype(jnp.float32)  # zero-mass slots: no pairs
+
+    tj = min(tile_j, _round_up(n, 128))
+    ti = min(tile_i, tj)
+    if tj % ti:
+        ti = 128
+    n_pad = _round_up(n, tj)
+    pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+    mass_p = jnp.pad(mass, (0, n_pad - n))
+    grid = (n_pad // ti, n_pad // tj)
+
+    fscal = jnp.stack(
+        [jnp.asarray(g_const, jnp.float32), jnp.asarray(softening, jnp.float32)]
+    )
+    u = pl.pallas_call(
+        _energy_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ti, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n_pad * n_pad,
+            bytes_accessed=n_pad * 16 * grid[0],
+            transcendentals=n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(fscal, pos_p, pos_p.T, mass_p[:, None], mass_p[None, :])
+    return jnp.asarray(g_const, jnp.float32) * u[0, 0]
+
+
 @partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
 def pallas_partial_accelerations(
     pos_i: jax.Array,

@@ -109,3 +109,21 @@ def test_pallas_mask_zeroes_padded_rows():
         np.asarray(acc[:30]) / scale, np.asarray(dense) / scale, atol=2e-5
     )
     assert np.all(np.asarray(acc[30:]) == 0)
+
+
+def test_pallas_potential_energy_matches_dense():
+    from nbody_tpu.ops.pairwise import pallas_potential_energy
+
+    pos, vel, mass = _random_system(200, seed=9)
+    u_ref = float(potential_energy(pos, mass, G, EPS))
+    u_pal = float(
+        pallas_potential_energy(pos, mass, G, EPS, interpret=True)
+    )
+    assert abs(u_pal - u_ref) < 1e-5 * abs(u_ref)
+
+    mask = jnp.arange(200) < 150
+    u_ref_m = float(potential_energy(pos, mass, G, EPS, mask=mask))
+    u_pal_m = float(
+        pallas_potential_energy(pos, mass, G, EPS, mask=mask, interpret=True)
+    )
+    assert abs(u_pal_m - u_ref_m) < 1e-5 * abs(u_ref_m)
