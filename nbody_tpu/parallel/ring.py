@@ -17,7 +17,7 @@ the framework reaches 10^5+ bodies.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ the full (steps, N, 3) trajectories come back to the host once.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

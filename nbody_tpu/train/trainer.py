@@ -69,6 +69,7 @@ class Trainer:
         self.epoch = 0  # resume-aware epoch counter (fixes trainer.py:38)
         self._has_bn = False
         self._ds_cache: Dict[str, SnapshotDataset] = {}
+        self._dev_cache: Dict[str, dict] = {}
         self._rollout_warmed: set = set()
         self._build_steps()
 
@@ -122,7 +123,20 @@ class Trainer:
             mse = masked_mse(pred, y, mask)
             return jnp.sqrt(mse), mse
 
+        def train_step_gather(state, x_full, y_full, sel, batch_valid, rng):
+            """Device-resident batching: the whole bucket lives on device and
+            each step gathers its batch by index — no per-batch host->device
+            payload (the per-batch transfer was the wall-clock bottleneck on
+            tunneled TPU backends)."""
+            x = x_full[sel]
+            y = y_full[sel]
+            mask = jnp.broadcast_to(
+                batch_valid[:, None], (sel.shape[0], x_full.shape[1])
+            )
+            return train_step(state, x, y, mask, rng)
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._train_step_gather = jax.jit(train_step_gather, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     # ----------------------------------------------------------- state mgmt
@@ -181,6 +195,16 @@ class Trainer:
             self._ds_cache[path] = SnapshotDataset.from_file(path)
         return self._ds_cache[path]
 
+    def _device_buckets(self, path: str):
+        """Per-file buckets resident on device: {n_bodies: (x, y) jnp arrays}."""
+        if path not in self._dev_cache:
+            ds = self._dataset(path)
+            self._dev_cache[path] = {
+                n: (jnp.asarray(b.x), jnp.asarray(b.y))
+                for n, b in ds.buckets.items()
+            }
+        return self._dev_cache[path]
+
     # -------------------------------------------------------------- training
     def train_from_dir(
         self,
@@ -213,23 +237,35 @@ class Trainer:
         epoch_losses: List[float] = []
         epoch_mse_losses: List[float] = []
         for e in range(epochs):
-            losses, mses, weights = [], [], []
+            losses, mses = [], []
             for f in csv_files:
-                ds = self._dataset(f)
-                it = BatchIterator(
-                    ds, batch_size, shuffle=True, seed=self.epoch * 7919 + hash(f) % 1000
-                )
-                for batch in it:
-                    self.rng, key = jax.random.split(self.rng)
-                    self.state, loss, mse = self._train_step(
-                        self.state,
-                        jnp.asarray(batch.x),
-                        jnp.asarray(batch.y),
-                        jnp.asarray(batch.node_mask),
-                        key,
-                    )
-                    losses.append(loss)
-                    mses.append(mse)
+                dev = self._device_buckets(f)
+                rng_np = np.random.default_rng(self.epoch * 7919 + hash(f) % 1000)
+                bucket_keys = list(dev.keys())
+                rng_np.shuffle(bucket_keys)
+                for n in bucket_keys:
+                    x_full, y_full = dev[n]
+                    s = x_full.shape[0]
+                    order = rng_np.permutation(s)
+                    for start in range(0, s, batch_size):
+                        sel = order[start : start + batch_size]
+                        bs = len(sel)
+                        if bs < batch_size:  # pad + mask the final batch
+                            sel = np.concatenate(
+                                [sel, np.zeros(batch_size - bs, sel.dtype)]
+                            )
+                        batch_valid = np.arange(batch_size) < bs
+                        self.rng, key = jax.random.split(self.rng)
+                        self.state, loss, mse = self._train_step_gather(
+                            self.state,
+                            x_full,
+                            y_full,
+                            jnp.asarray(sel, jnp.int32),
+                            jnp.asarray(batch_valid),
+                            key,
+                        )
+                        losses.append(loss)
+                        mses.append(mse)
             mean_loss = float(np.mean([float(l) for l in losses]))
             mean_mse = float(np.mean([float(m) for m in mses]))
             epoch_losses.append(mean_loss)
