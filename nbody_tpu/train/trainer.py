@@ -135,8 +135,27 @@ class Trainer:
             )
             return train_step(state, x, y, mask, rng)
 
+        def train_bucket(state, x_full, y_full, sels, valids, rngs):
+            """One dispatch per (file, bucket): lax.scan over all its batches.
+            Per-batch Python dispatch (RPC control latency on tunneled
+            backends) was the epoch bottleneck even with device-resident
+            data; this reduces it to ~6 dispatches per file."""
+
+            def body(carry, inp):
+                sel, bv, rng = inp
+                new_state, loss, mse = train_step_gather(
+                    carry, x_full, y_full, sel, bv, rng
+                )
+                return new_state, (loss, mse)
+
+            state, (losses, mses) = jax.lax.scan(
+                body, state, (sels, valids, rngs)
+            )
+            return state, losses, mses
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._train_step_gather = jax.jit(train_step_gather, donate_argnums=(0,))
+        self._train_bucket = jax.jit(train_bucket, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     # ----------------------------------------------------------- state mgmt
@@ -246,28 +265,28 @@ class Trainer:
                 for n in bucket_keys:
                     x_full, y_full = dev[n]
                     s = x_full.shape[0]
+                    nb = -(-s // batch_size)
                     order = rng_np.permutation(s)
-                    for start in range(0, s, batch_size):
+                    sels = np.zeros((nb, batch_size), np.int32)
+                    valids = np.zeros((nb, batch_size), bool)
+                    for b, start in enumerate(range(0, s, batch_size)):
                         sel = order[start : start + batch_size]
-                        bs = len(sel)
-                        if bs < batch_size:  # pad + mask the final batch
-                            sel = np.concatenate(
-                                [sel, np.zeros(batch_size - bs, sel.dtype)]
-                            )
-                        batch_valid = np.arange(batch_size) < bs
-                        self.rng, key = jax.random.split(self.rng)
-                        self.state, loss, mse = self._train_step_gather(
-                            self.state,
-                            x_full,
-                            y_full,
-                            jnp.asarray(sel, jnp.int32),
-                            jnp.asarray(batch_valid),
-                            key,
-                        )
-                        losses.append(loss)
-                        mses.append(mse)
-            mean_loss = float(np.mean([float(l) for l in losses]))
-            mean_mse = float(np.mean([float(m) for m in mses]))
+                        sels[b, : len(sel)] = sel
+                        valids[b, : len(sel)] = True
+                    self.rng, sub = jax.random.split(self.rng)
+                    keys = jax.random.split(sub, nb)
+                    self.state, bucket_losses, bucket_mses = self._train_bucket(
+                        self.state,
+                        x_full,
+                        y_full,
+                        jnp.asarray(sels),
+                        jnp.asarray(valids),
+                        keys,
+                    )
+                    losses.append(bucket_losses)
+                    mses.append(bucket_mses)
+            mean_loss = float(np.mean(np.concatenate([np.asarray(l) for l in losses])))
+            mean_mse = float(np.mean(np.concatenate([np.asarray(m) for m in mses])))
             epoch_losses.append(mean_loss)
             epoch_mse_losses.append(mean_mse)
             self.epoch += 1
