@@ -73,6 +73,10 @@ def _force_kernel(fscal_ref, delta_ref, pos_i_ref, posT_j_ref, massT_j_ref, acc_
     col_l = j * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
     w = jnp.where(row_l - col_l == delta, 0.0, w)
 
+    # Reduce over the j lane axis per coordinate. (An MXU contraction
+    # w @ [pos_j | 1] was tried here; it loses ~1e-4 relative accuracy to
+    # catastrophic cancellation of the absolute-position sums and won no
+    # measurable time — the kernel is rsqrt/VPU-bound.)
     ax = jnp.sum(w * dx, axis=1, keepdims=True)  # (TI, 1)
     ay = jnp.sum(w * dy, axis=1, keepdims=True)
     az = jnp.sum(w * dz, axis=1, keepdims=True)
