@@ -135,6 +135,16 @@ class Trainer:
             )
             return train_step(state, x, y, mask, rng)
 
+        def eval_step_repeated(state, x, y, mask, reps: int):
+            """reps timed forwards in ONE dispatch (lax.scan) so step_time
+            measures device time, not per-call dispatch latency."""
+
+            def body(carry, _):
+                return carry, eval_step(state, x, y, mask)
+
+            _, (losses, mses) = jax.lax.scan(body, 0, None, length=reps)
+            return losses[-1], mses[-1]
+
         def train_bucket(state, x_full, y_full, sels, valids, rngs):
             """One dispatch per (file, bucket): lax.scan over all its batches.
             Per-batch Python dispatch (RPC control latency on tunneled
@@ -157,6 +167,9 @@ class Trainer:
         self._train_step_gather = jax.jit(train_step_gather, donate_argnums=(0,))
         self._train_bucket = jax.jit(train_bucket, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        self._eval_step_repeated = jax.jit(
+            eval_step_repeated, static_argnames=("reps",)
+        )
 
     # ----------------------------------------------------------- state mgmt
     def _ensure_state(self, batch):
@@ -360,11 +373,11 @@ class Trainer:
         )
         return df_stepwise_grouped, df_rollout
 
-    # Repetitions for amortized stepwise timing: one RPC round-trip per timed
-    # region instead of per forward, so step_time reflects steady-state
-    # per-snapshot latency (the reference's synchronous-CPU timing has no
-    # equivalent dispatch overhead to exclude).
-    STEPWISE_TIMING_REPS = 8
+    # Repetitions for amortized stepwise timing: the reps run as ONE on-device
+    # scan, so a single dispatch+readback round-trip is amortized over all of
+    # them and step_time reflects per-snapshot device latency (the
+    # reference's synchronous-CPU timing has no dispatch overhead to exclude).
+    STEPWISE_TIMING_REPS = 64
 
     def _evaluate_stepwise(self, filename: str, ds: SnapshotDataset):
         """Timed 1-snapshot forwards (trainer.py:202-215). The first call per
@@ -378,16 +391,13 @@ class Trainer:
             m = jnp.asarray(batch.node_mask)
             shape = x.shape
             if shape not in warmed:
-                fetch_scalar(self._eval_step(self.state, x, y, m)[0])
+                fetch_scalar(
+                    self._eval_step_repeated(self.state, x, y, m, reps)[0]
+                )
                 warmed.add(shape)
-
-            def run_reps():
-                out = None
-                for _ in range(reps):
-                    out = self._eval_step(self.state, x, y, m)
-                return out
-
-            (loss, mse), elapsed = device_time(run_reps)
+            (loss, mse), elapsed = device_time(
+                lambda: self._eval_step_repeated(self.state, x, y, m, reps)
+            )
             step_time = elapsed / reps
             rows.append(
                 (
