@@ -98,12 +98,12 @@ class ContinuousConv(nn.Module):
         for c in range(8):
             g = g.at[bi, ni, cidx[..., c]].add(cw[..., c, None] * wf)
 
-        # One MXU matmul against the whole filter bank.
+        # One MXU matmul against the whole filter bank (default precision:
+        # this is a learned layer, bf16-multiply/fp32-accumulate is plenty).
         out = jnp.einsum(
             "bnzi,zio->bno",
             g,
             filters.reshape(d * d * d, self.in_channels, self.out_channels),
-            precision=jax.lax.Precision.HIGHEST,
         )
 
         if self.agg == "mean":  # scatter(..., reduce=mean), contconv.py:95-97
