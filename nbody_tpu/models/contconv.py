@@ -91,12 +91,14 @@ class ContinuousConv(nn.Module):
         feat_j = gather_neighbors(feat, nbr_idx)  # (B, N, k, ci)
         wf = feat_j * window[..., None]  # window applied pre-aggregation
 
-        # Scatter into per-node corner bins: G (B, N, D^3, ci).
-        bi = jnp.arange(b)[:, None, None]
-        ni = jnp.arange(n)[None, :, None]
-        g = jnp.zeros((b, n, d * d * d, self.in_channels), feat.dtype)
+        # Per-edge dense corner-weight row over the D^3 cells, then collect
+        # per-node corner bins G with an MXU einsum. (A scatter-add
+        # formulation was ~40x slower: TPU scatters serialize.)
+        cells = jnp.arange(d * d * d)
+        oh = jnp.zeros((b, n, k, d * d * d), feat.dtype)
         for c in range(8):
-            g = g.at[bi, ni, cidx[..., c]].add(cw[..., c, None] * wf)
+            oh = oh + (cidx[..., c, None] == cells) * cw[..., c, None]
+        g = jnp.einsum("bnkz,bnki->bnzi", oh, wf)  # (B, N, D^3, ci)
 
         # One MXU matmul against the whole filter bank (default precision:
         # this is a learned layer, bf16-multiply/fp32-accumulate is plenty).

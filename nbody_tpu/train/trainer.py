@@ -180,7 +180,9 @@ class Trainer:
             self.model.graph_spec, x[..., :3], jnp.asarray(batch.node_mask)
         )
         self.rng, init_key = jax.random.split(self.rng)
-        variables = self.model.init(init_key, x, idx, valid)
+        # jit the init: eager op-by-op dispatch is pathologically slow on
+        # tunneled backends (~1 RPC per op).
+        variables = jax.jit(self.model.init)(init_key, x, idx, valid)
         self._has_bn = "batch_stats" in variables
         params = variables["params"]
         self.state = TrainState(
