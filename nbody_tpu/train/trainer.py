@@ -59,9 +59,15 @@ class Trainer:
         scheduler: Optional[PlateauScheduler] = None,
         dt: float = 0.01,
         seed: int = 0,
+        mesh=None,
     ):
+        """:param mesh: optional ``jax.sharding.Mesh`` with a "data" axis —
+        training batches are sharded across it (data parallelism; params stay
+        replicated and XLA psums the gradients). The reference is strictly
+        single-device (SURVEY.md §2.9b)."""
         self.model = model
         self.dt = dt
+        self.mesh = mesh
         self.tx = make_optimizer(learning_rate)
         self.scheduler = scheduler
         self.rng = jax.random.PRNGKey(seed)
@@ -123,16 +129,29 @@ class Trainer:
             mse = masked_mse(pred, y, mask)
             return jnp.sqrt(mse), mse
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from nbody_tpu.parallel.mesh import DATA_AXIS
+
+            batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        else:
+            batch_sharding = None
+
         def train_step_gather(state, x_full, y_full, sel, batch_valid, rng):
             """Device-resident batching: the whole bucket lives on device and
             each step gathers its batch by index — no per-batch host->device
             payload (the per-batch transfer was the wall-clock bottleneck on
-            tunneled TPU backends)."""
+            tunneled TPU backends). With a mesh, the gathered batch is
+            sharded across the "data" axis (dp)."""
             x = x_full[sel]
             y = y_full[sel]
             mask = jnp.broadcast_to(
                 batch_valid[:, None], (sel.shape[0], x_full.shape[1])
             )
+            if batch_sharding is not None:
+                x = jax.lax.with_sharding_constraint(x, batch_sharding)
+                y = jax.lax.with_sharding_constraint(y, batch_sharding)
+                mask = jax.lax.with_sharding_constraint(mask, batch_sharding)
             return train_step(state, x, y, mask, rng)
 
         def eval_step_repeated(state, x, y, mask, reps: int):

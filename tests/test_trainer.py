@@ -148,3 +148,18 @@ def test_test_from_dir_schema(tiny_data, tmp_path):
     assert np.isfinite(df_rollout["pos_rmse"].to_numpy()).all()
     # step-0 position error is exactly zero (seeded from ground truth)
     assert df_rollout.loc[("t1.csv", 0, 0), "pos_rmse"] == 0.0
+
+
+def test_data_parallel_training(tiny_data, mesh8):
+    """Trainer(mesh=...) shards batches over the "data" axis; loss curve
+    stays finite and decreasing like the single-device run."""
+    train_dir, _ = tiny_data
+    from nbody_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    mesh = make_mesh(8, axis_names=(DATA_AXIS,))
+    trainer = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0, mesh=mesh)
+    losses, _ = trainer.train_from_dir(
+        train_dir, epochs=6, batch_size=8, verbose=False
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
