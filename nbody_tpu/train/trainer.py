@@ -258,6 +258,25 @@ class Trainer:
             }
         return self._dev_cache[path]
 
+    def _device_buckets_merged(self, paths):
+        """Buckets pooled across several files, resident on device."""
+        if len(paths) == 1:
+            return self._device_buckets(paths[0])
+        key = tuple(paths)
+        if key not in self._dev_cache:
+            pooled: Dict[int, list] = {}
+            for p in paths:
+                for n, b in self._dataset(p).buckets.items():
+                    pooled.setdefault(n, []).append((b.x, b.y))
+            self._dev_cache[key] = {
+                n: (
+                    jnp.asarray(np.concatenate([x for x, _ in parts])),
+                    jnp.asarray(np.concatenate([y for _, y in parts])),
+                )
+                for n, parts in pooled.items()
+            }
+        return self._dev_cache[key]
+
     # -------------------------------------------------------------- training
     def train_from_dir(
         self,
@@ -268,13 +287,19 @@ class Trainer:
         save_path: Optional[str] = None,
         verbose: bool = True,
         on_epoch_end=None,
+        merge_files: bool = False,
     ) -> Tuple[List[float], List[float]]:
         """Reference ``train_from_dir`` (trainer.py:20-92). Returns
         (epoch_losses, epoch_mse_losses) — means over all batches.
 
         :param on_epoch_end: optional callback
             ``(epoch, epoch_losses, epoch_mse_losses) -> None`` — e.g. for
-            incremental metrics persistence."""
+            incremental metrics persistence.
+        :param merge_files: pool every file's snapshots into shared buckets so
+            batches mix scenes across files. The reference iterates one file
+            at a time (trainer.py:63-65), which makes batches highly
+            correlated (consecutive steps of one galaxy); merging improves
+            gradient diversity. Off by default for reference parity."""
         csv_files = sorted(glob(os.path.join(data_path, "*.csv")))
         if not csv_files:
             raise FileNotFoundError(f"no CSVs under {data_path}")
@@ -289,11 +314,14 @@ class Trainer:
         mgr = CheckpointManager(save_path) if (save_path and save_every > 0) else None
         epoch_losses: List[float] = []
         epoch_mse_losses: List[float] = []
+        file_groups = [csv_files] if merge_files else [[f] for f in csv_files]
         for e in range(epochs):
             losses, mses = [], []
-            for f in csv_files:
-                dev = self._device_buckets(f)
-                rng_np = np.random.default_rng(self.epoch * 7919 + hash(f) % 1000)
+            for group in file_groups:
+                dev = self._device_buckets_merged(group)
+                rng_np = np.random.default_rng(
+                    self.epoch * 7919 + hash(tuple(group)) % 1000
+                )
                 bucket_keys = list(dev.keys())
                 rng_np.shuffle(bucket_keys)
                 for n in bucket_keys:

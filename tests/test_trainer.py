@@ -163,3 +163,13 @@ def test_data_parallel_training(tiny_data, mesh8):
     )
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_merge_files_training(tiny_data):
+    train_dir, _ = tiny_data
+    trainer = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    losses, _ = trainer.train_from_dir(
+        train_dir, epochs=4, batch_size=8, verbose=False, merge_files=True
+    )
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
