@@ -29,6 +29,7 @@ def main(argv=None):
     p.add_argument("--train-files", type=int, default=10)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--quick", action="store_true", help="tiny smoke config")
+    p.add_argument("--merge-files", action="store_true")
     args = p.parse_args(argv)
 
     if args.quick:
@@ -76,6 +77,7 @@ def main(argv=None):
         save_every=args.save_every,
         save_path=paths["weights"],
         on_epoch_end=_persist_losses,
+        merge_files=args.merge_files,
     )
     print("Training completed, evaluating model.")
 

@@ -335,6 +335,18 @@ class Trainer:
                         sel = order[start : start + batch_size]
                         sels[b, : len(sel)] = sel
                         valids[b, : len(sel)] = True
+                        if len(sel) < batch_size:
+                            # Fill the tail with extra random REAL snapshots
+                            # (valid, so they enter the loss with a duplicate's
+                            # weight) instead of zero rows: all-zero padding
+                            # corrupts BatchNorm statistics for the whole
+                            # batch (the ContConv encoder keeps PyG's
+                            # batch_norm default).
+                            extra = rng_np.choice(
+                                s, batch_size - len(sel), replace=s < batch_size
+                            )
+                            sels[b, len(sel):] = extra
+                            valids[b, len(sel):] = True
                     self.rng, sub = jax.random.split(self.rng)
                     keys = jax.random.split(sub, nb)
                     self.state, bucket_losses, bucket_mses = self._train_bucket(
