@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--merge-files", action="store_true")
+    p.add_argument("--reference-init", action="store_true",
+                   help="torch-style init for the decoder head (the default "
+                        "zero-init avoids the saturation collapse)")
     args = p.parse_args(argv)
 
     if args.quick:
@@ -58,6 +61,7 @@ def main(argv=None):
         encoder_dropout=0.0,
         decoder_hiddens=(64, 32),
         scale_factor=1e6,
+        zero_init_output=not args.reference_init,
     )
     scheduler = PlateauScheduler(lr=0.01)  # torch defaults, contconv_experiment.py:79
     trainer = Trainer(model, learning_rate=0.01, scheduler=scheduler, dt=1e-4)

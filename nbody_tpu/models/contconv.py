@@ -136,6 +136,7 @@ class ContinuousConvModel(nn.Module):
     decoder_dropout: float = 0.0
     scale_factor: float = 1.0
     radius_kmax: int = DEFAULT_RADIUS_KMAX
+    zero_init_output: bool = False
 
     @property
     def graph_spec(self):
@@ -196,7 +197,10 @@ class ContinuousConvModel(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5)(
             jnp.concatenate([encoder_output, x], axis=-1)
         )  # contconv.py:233
-        return OutputHead(self.decoder_hiddens, self.out_channels)(x)
+        return OutputHead(
+            self.decoder_hiddens, self.out_channels,
+            zero_init=self.zero_init_output,
+        )(x)
 
     def get_config(self):
         return {
@@ -215,4 +219,5 @@ class ContinuousConvModel(nn.Module):
             "decoder_dropout": self.decoder_dropout,
             "scale_factor": self.scale_factor,
             "radius_kmax": self.radius_kmax,
+            "zero_init_output": self.zero_init_output,
         }

@@ -63,6 +63,7 @@ class GraphModel(nn.Module):
     aggr: str = "sum"
     neighbors: int = 50
     scale_factor: float = 1.0
+    zero_init_output: bool = False
 
     @property
     def graph_spec(self):
@@ -90,7 +91,10 @@ class GraphModel(nn.Module):
 
         x = jnp.concatenate([encoder_output, x], axis=-1)  # gnn.py:144
         x = nn.LayerNorm(epsilon=1e-5)(x)  # torch default eps
-        return OutputHead(self.output_hiddens, self.output_dim)(x)
+        return OutputHead(
+            self.output_hiddens, self.output_dim,
+            zero_init=self.zero_init_output,
+        )(x)
 
     def get_config(self):
         """Parity with ``GraphModel.get_config`` (gnn.py:116-128)."""
@@ -105,4 +109,5 @@ class GraphModel(nn.Module):
             "aggr": self.aggr,
             "neighbors": self.neighbors,
             "scale_factor": self.scale_factor,
+            "zero_init_output": self.zero_init_output,
         }

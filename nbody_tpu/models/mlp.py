@@ -60,14 +60,27 @@ class MLP(nn.Module):
 class OutputHead(nn.Module):
     """The reference's decoder head (``gnn.py:105-114``,
     ``contconv.py:207-216``): plain Linear when no hiddens, otherwise
-    Linear/Tanh sandwiches with a plain final Linear (no norm, no dropout)."""
+    Linear/Tanh sandwiches with a plain final Linear (no norm, no dropout).
+
+    ``zero_init`` zero-initialises the final Linear so the model starts at
+    pred = 0. The targets (accelerations ~1e-7) are ~5 orders of magnitude
+    below a torch-init network's output scale; the reference spends its first
+    ~12 epochs collapsing that gap, which can drive BatchNorm biases into
+    tanh saturation (observed as a constant-predictor collapse). Divergence
+    from the reference's init, strictly better conditioning.
+    """
 
     hiddens: Optional[Sequence[int]]
     output_dim: int
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
         if self.hiddens:
             for f in self.hiddens:
                 x = jnp.tanh(Dense(f)(x))
+        if self.zero_init:
+            return nn.Dense(
+                self.output_dim, kernel_init=nn.initializers.zeros
+            )(x)
         return Dense(self.output_dim)(x)
