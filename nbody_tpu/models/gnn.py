@@ -64,11 +64,17 @@ class GraphModel(nn.Module):
     neighbors: int = 50
     scale_factor: float = 1.0
     zero_init_output: bool = False
+    knn_approx: bool = False  # approx_max_k candidate selection (~3.5x faster
+    # at 100k bodies, recall ~0.95) — for large-N rollouts
 
     @property
     def graph_spec(self):
         """How the data pipeline must build neighbor lists for this model."""
-        return ("knn", {"k": self.neighbors, "include_self": False})
+        return (
+            "knn",
+            {"k": self.neighbors, "include_self": False,
+             "approx": self.knn_approx},
+        )
 
     @nn.compact
     def __call__(self, x, nbr_idx, nbr_valid, train: bool = False):

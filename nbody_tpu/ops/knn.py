@@ -130,14 +130,16 @@ def _knn_chunked(pos, k, mask, include_self, chunk_size, approx=False):
     return idx, valid
 
 
-def batched_knn_neighbors(pos, k, mask=None, include_self=False):
+def batched_knn_neighbors(pos, k, mask=None, include_self=False, approx=False):
     """vmap of :func:`knn_neighbors` over a leading batch axis.
 
     Replaces PyG's batch-vector trick (``knn_graph(..., batch=batch)``,
     reference ``gnn.py:13``): each snapshot in the (B, N, 3) batch gets an
     independent neighbor graph.
     """
-    fn = lambda p, m: knn_neighbors(p, k, mask=m, include_self=include_self)
+    fn = lambda p, m: knn_neighbors(
+        p, k, mask=m, include_self=include_self, approx=approx
+    )
     if mask is None:
         return jax.vmap(lambda p: fn(p, None))(pos)
     return jax.vmap(fn)(pos, mask)

@@ -19,7 +19,11 @@ def build_graph(graph_spec, pos, mask=None):
     kind, kw = graph_spec
     if kind == "knn":
         return batched_knn_neighbors(
-            pos, kw["k"], mask=mask, include_self=kw.get("include_self", False)
+            pos,
+            kw["k"],
+            mask=mask,
+            include_self=kw.get("include_self", False),
+            approx=kw.get("approx", False),
         )
     if kind == "radius":
         return batched_radius_neighbors(
