@@ -1,0 +1,60 @@
+"""CLI + config-driven runner smoke tests (tiny, CPU)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from nbody_tpu.cli.datagen import main as datagen_main
+from nbody_tpu.data.schema import CSV_FIELDS
+
+
+def test_datagen_cli_roundtrip(tmp_path):
+    out = str(tmp_path / "ds.csv")
+    datagen_main(
+        [
+            "--integrator", "leapfrog",
+            "--n-bodies", "5", "8",
+            "--output", out,
+            "--steps", "4",
+            "--sim-type", "spiral",
+            "--seed", "3",
+            "--force-backend", "dense",
+        ]
+    )
+    df = pd.read_csv(out)
+    assert list(df.columns) == CSV_FIELDS
+    assert len(df) == 4 * 5 + 4 * 8
+    assert os.path.exists(str(tmp_path / "ds.npz"))
+    assert np.isfinite(df[["x", "u", "k"]].to_numpy()).all()
+    # energies identical within a (scene, step) group
+    g = df.groupby(["scene", "step"])["u"].nunique()
+    assert (g == 1).all()
+
+
+def test_config_driven_runner(tmp_path):
+    from nbody_tpu.experiments.run import main as run_main
+
+    run_main(
+        [
+            "--set", f"base={tmp_path}",
+            "--set", "name=smoke",
+            "--set", "datagen.n_bodies=[6]",
+            "--set", "datagen.steps=6",
+            "--set", "datagen.train_files=1",
+            "--set", "datagen.seed=1",
+            "--set", "train.epochs=2",
+            "--set", "train.batch_size=4",
+            "--set", "train.sim_steps=6",
+            "--set", "train.save_every=1",
+            "--set", 'model.kwargs={"input_dim": 4, "gnn_dim": 8, '
+                     '"message_passing_steps": 1, "aggr": "mean", '
+                     '"neighbors": 3, "scale_factor": 1e6}',
+        ]
+    )
+    res = tmp_path / "results" / "smoke"
+    for f in ["config.json", "epoch_loss.csv", "test_results_stepwise.csv",
+              "test_results_rollout.csv"]:
+        assert (res / f).exists(), f
+    losses = pd.read_csv(res / "epoch_loss.csv")
+    assert len(losses) == 2 and np.isfinite(losses["loss"]).all()
