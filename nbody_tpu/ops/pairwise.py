@@ -15,6 +15,12 @@ falls in global index space (global_i - global_j), which makes the same
 kernel serve both the single-device full product (delta=0) and each step of
 the multi-device ring (``nbody_tpu.parallel.ring``), where I and J are
 different shards of the global particle array.
+
+The kernel is VPU-compute-bound (one rsqrt per pair). Measured tile sweep at
+N=102400 (v5e, forced-readback timing): (256,1024) 0.130 Tpairs/s |
+(512,1024) 0.134 | (1024,1024) 0.139 | (1024,2048) VMEM OOM (scoped 24M >
+16M). Defaults stay (256,1024): within 7% of the best and far from the VMEM
+ceiling for every shape.
 """
 
 from __future__ import annotations
