@@ -93,7 +93,7 @@ class ContinuousConv(nn.Module):
 
         # Per-edge dense corner-weight row over the D^3 cells, then collect
         # per-node corner bins G with an MXU einsum. (A scatter-add
-        # formulation was ~40x slower: TPU scatters serialize.)
+        # formulation measured ~13x slower: TPU scatter-adds serialize.)
         cells = jnp.arange(d * d * d)
         oh = jnp.zeros((b, n, k, d * d * d), feat.dtype)
         for c in range(8):
