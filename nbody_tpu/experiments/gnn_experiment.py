@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--quick", action="store_true", help="tiny smoke config")
     p.add_argument("--merge-files", action="store_true")
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--zero-init", action="store_true",
+                   help="zero-init the decoder head (see models/mlp.py)")
     args = p.parse_args(argv)
 
     if args.quick:
@@ -60,9 +63,10 @@ def main(argv=None):
         output_hiddens=None,
         neighbors=10,
         scale_factor=1e6,
+        zero_init_output=args.zero_init,
     )
-    scheduler = PlateauScheduler(lr=0.01, factor=0.25, patience=5)
-    trainer = Trainer(model, learning_rate=0.01, scheduler=scheduler, dt=1e-4)
+    scheduler = PlateauScheduler(lr=args.lr, factor=0.25, patience=5)
+    trainer = Trainer(model, learning_rate=args.lr, scheduler=scheduler, dt=1e-4)
     print("Model and trainer initialized.")
 
     loss_csv = os.path.join(paths["results"], "epoch_loss.csv")
