@@ -1,0 +1,267 @@
+"""Trajectory dataset generation — the TPU rebuild of the reference datagen
+pipeline (``/root/reference/src/s01-dataset-generation.py``).
+
+The reference runs a Python loop per step with a host snapshot each iteration
+and then a per-particle ``csv.DictWriter`` loop (s01:218-241 — its I/O
+bottleneck). Here the whole trajectory is one ``lax.scan`` on device and the
+CSV materialisation is a single vectorised pandas write (or the native C++
+writer in ``nbody_tpu.data.io_native`` when built). A compact ``.npz`` twin
+is written alongside for fast reload.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.core.simulate import SimulationConfig, Trajectory, simulate
+from nbody_tpu.data.schema import CSV_FIELDS
+from nbody_tpu.ics import GENERATORS
+
+
+@dataclasses.dataclass(frozen=True)
+class ScenarioConfig:
+    """One simulated scene — the unit of the CLI's cartesian fan-out
+    (s01:93-104). Defaults match the reference CLI (s01:42-83)."""
+
+    n_bodies: int = 100
+    integrator: str = "leapfrog"
+    sim_type: str = "disk"  # "disk" | "spiral"
+    steps: int = 100
+    dt: float = 1e-4
+    softening: float = 0.05
+    g: float = 4.5e-6
+    total_mass: float = 1.0
+    radial_scale: float = 3.0
+    height_scale: float = 0.3
+    black_hole_mass: float = 0.01
+    n_arms: int = 2
+    pitch_angle: float = -float(np.pi) / 6
+    arm_strength: float = 0.3
+    seed: Optional[int] = None
+    force_backend: str = "auto"
+
+
+def scenario_product(**kwargs) -> List[ScenarioConfig]:
+    """Cartesian product over list-valued parameters (s01:93-104)."""
+    params = {}
+    for key, value in kwargs.items():
+        params[key] = value if isinstance(value, (list, tuple)) else [value]
+    keys = list(params.keys())
+    return [
+        ScenarioConfig(**dict(zip(keys, combo)))
+        for combo in itertools.product(*(params[k] for k in keys))
+    ]
+
+
+def scenario_key(cfg: ScenarioConfig) -> jax.Array:
+    """Per-scene PRNG key. The reference calls ``np.random.seed(seed)``
+    inside every generator invocation (galaxies.py:89,224), so the same seed
+    reproduces the same galaxy for identical parameters — we mirror that by
+    deriving the key from the seed alone (fresh entropy when seed is None)."""
+    if cfg.seed is None:
+        return jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**31))
+    return jax.random.PRNGKey(cfg.seed)
+
+
+def make_initial_conditions(cfg: ScenarioConfig, key=None):
+    """Dispatch to the galaxify generator for this scene (s01:159-188)."""
+    if key is None:
+        key = scenario_key(cfg)
+    common = dict(
+        n_bodies=cfg.n_bodies,
+        total_mass=cfg.total_mass,
+        radial_scale=cfg.radial_scale,
+        height_scale=cfg.height_scale,
+        g_const=cfg.g,
+        black_hole_mass=cfg.black_hole_mass,
+    )
+    if cfg.sim_type == "disk":
+        return GENERATORS["disk"](key, **common)
+    if cfg.sim_type == "spiral":
+        return GENERATORS["spiral"](
+            key,
+            **common,
+            n_arms=cfg.n_arms,
+            pitch_angle=cfg.pitch_angle,
+            arm_strength=cfg.arm_strength,
+        )
+    raise ValueError(f"unknown sim_type {cfg.sim_type!r}")
+
+
+def run_scenario(cfg: ScenarioConfig, key=None):
+    """ICs + full on-device rollout. Returns (trajectory, masses, mean
+    step-time seconds). The per-step wall time the reference logs
+    (simulation.py:127-129) has no meaning inside a fused scan, so the
+    uniform mean step time is recorded for every step."""
+    pos, vel, mass = make_initial_conditions(cfg, key)
+    sim_cfg = SimulationConfig(
+        g_const=cfg.g,
+        softening=cfg.softening,
+        dt=cfg.dt,
+        integrator=cfg.integrator,
+        calc_energy=True,
+        force_backend=cfg.force_backend,
+    )
+    from nbody_tpu.utils.timing import device_time
+
+    traj, elapsed = device_time(
+        lambda: simulate(pos, vel, mass, cfg.steps, sim_cfg)
+    )
+    step_time = elapsed / cfg.steps
+    return traj, np.asarray(mass), step_time
+
+
+def trajectory_to_rows(
+    scene_id: int, cfg: ScenarioConfig, traj: Trajectory, mass: np.ndarray,
+    step_time: float,
+):
+    """Vectorised long-format table for one scene: steps x n_bodies rows in
+    the reference column order (s01:222-241), as a dict of numpy columns."""
+    s, n = cfg.steps, cfg.n_bodies
+    p = np.asarray(traj.positions).reshape(s * n, 3)
+    v = np.asarray(traj.velocities).reshape(s * n, 3)
+    a = np.asarray(traj.accelerations).reshape(s * n, 3)
+    u = np.repeat(np.asarray(traj.u_energy), n)
+    k = np.repeat(np.asarray(traj.k_energy), n)
+    return {
+        "scene": np.full(s * n, scene_id, np.int64),
+        "scene_type": np.full(s * n, cfg.sim_type, object),
+        "step": np.repeat(np.arange(s), n),
+        "step_time": np.full(s * n, step_time, np.float64),
+        "mass": np.tile(mass, s),
+        "x": p[:, 0], "y": p[:, 1], "z": p[:, 2],
+        "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+        "ax": a[:, 0], "ay": a[:, 1], "az": a[:, 2],
+        "u": u, "k": k,
+    }
+
+
+def run_scenario_group(cfgs: Sequence[ScenarioConfig], keys=None):
+    """Run scenarios that share every static parameter except the seed as ONE
+    vmapped computation: ICs and the whole ``lax.scan`` rollout batch over the
+    scene axis — one compile and one dispatch for e.g. 100 x 1k-body rollouts.
+
+    :return: list of (trajectory, masses, mean step_time) like
+        :func:`run_scenario` (step_time is the batch mean per scene).
+    """
+    base = cfgs[0]
+    assert all(
+        dataclasses.replace(c, seed=base.seed) == base for c in cfgs
+    ), "group must differ only by seed"
+    if keys is None:
+        keys = jnp.stack([scenario_key(c) for c in cfgs])
+
+    sim_cfg = SimulationConfig(
+        g_const=base.g,
+        softening=base.softening,
+        dt=base.dt,
+        integrator=base.integrator,
+        calc_energy=True,
+        force_backend=base.force_backend,
+    )
+
+    def one(key):
+        pos, vel, mass = make_initial_conditions(base, key)
+        traj = simulate(pos, vel, mass, base.steps, sim_cfg)
+        return traj, mass
+
+    from nbody_tpu.utils.timing import device_time
+
+    (trajs, masses), elapsed = device_time(lambda: jax.vmap(one)(keys))
+    step_time = elapsed / (base.steps * len(cfgs))
+    return [
+        (
+            Trajectory(*(None if x is None else x[i] for x in trajs)),
+            np.asarray(masses[i]),
+            step_time,
+        )
+        for i in range(len(cfgs))
+    ]
+
+
+def _group_scenarios(scenarios: Sequence[ScenarioConfig]):
+    """Consecutive runs of scenarios identical up to the seed."""
+    groups = []
+    for scene_id, cfg in enumerate(scenarios):
+        if groups and dataclasses.replace(
+            cfg, seed=groups[-1][0][1].seed
+        ) == groups[-1][0][1]:
+            groups[-1].append((scene_id, cfg))
+        else:
+            groups.append([(scene_id, cfg)])
+    return groups
+
+
+def generate_dataset(
+    scenarios: Sequence[ScenarioConfig],
+    output: str,
+    write_npz: bool = True,
+    verbose: bool = True,
+    vmap_scenes: bool = True,
+) -> None:
+    """Run every scenario and write one long-format CSV (s01:106-243), plus an
+    ``.npz`` twin (same stem) for fast reload by ``data.dataset``.
+
+    :param vmap_scenes: batch groups of seed-only-differing scenarios into
+        one vmapped device computation (big win for sweeps like 100 rollouts
+        of the same configuration)."""
+    import pandas as pd
+
+    results = {}
+    if vmap_scenes:
+        for group in _group_scenarios(scenarios):
+            ids = [sid for sid, _ in group]
+            cfgs = [c for _, c in group]
+            if verbose:
+                print(
+                    f"[scenes {ids[0]}..{ids[-1]}] {cfgs[0].sim_type} "
+                    f"n={cfgs[0].n_bodies} steps={cfgs[0].steps} x{len(cfgs)}"
+                )
+            if len(cfgs) == 1:
+                results[ids[0]] = run_scenario(cfgs[0])
+            else:
+                for sid, res in zip(ids, run_scenario_group(cfgs)):
+                    results[sid] = res
+
+    frames = []
+    npz_payload = {}
+    for scene_id, cfg in enumerate(scenarios):
+        if scene_id in results:
+            traj, mass, step_time = results[scene_id]
+        else:
+            if verbose:
+                print(
+                    f"[{scene_id + 1}/{len(scenarios)}] {cfg.sim_type} n={cfg.n_bodies} "
+                    f"steps={cfg.steps} integrator={cfg.integrator} seed={cfg.seed}"
+                )
+            traj, mass, step_time = run_scenario(cfg)
+        frames.append(
+            pd.DataFrame(trajectory_to_rows(scene_id, cfg, traj, mass, step_time))
+        )
+        npz_payload[f"scene{scene_id}_pos"] = np.asarray(traj.positions)
+        npz_payload[f"scene{scene_id}_vel"] = np.asarray(traj.velocities)
+        npz_payload[f"scene{scene_id}_acc"] = np.asarray(traj.accelerations)
+        npz_payload[f"scene{scene_id}_mass"] = mass
+        npz_payload[f"scene{scene_id}_u"] = np.asarray(traj.u_energy)
+        npz_payload[f"scene{scene_id}_k"] = np.asarray(traj.k_energy)
+        npz_payload[f"scene{scene_id}_meta"] = np.array(
+            [scene_id, cfg.steps, cfg.n_bodies, step_time], np.float64
+        )
+        npz_payload[f"scene{scene_id}_type"] = np.array(cfg.sim_type)
+
+    df = pd.concat(frames, ignore_index=True)[CSV_FIELDS]
+    from nbody_tpu.data.io_native import write_csv
+
+    write_csv(df, output)
+    if write_npz:
+        np.savez_compressed(_npz_path(output), n_scenes=len(scenarios), **npz_payload)
+
+
+def _npz_path(csv_path: str) -> str:
+    return csv_path[:-4] + ".npz" if csv_path.endswith(".csv") else csv_path + ".npz"
