@@ -22,16 +22,10 @@ STEPS = 200
 BASELINE_PSTEPS = 500 / 2.9e-3 / (N_BODIES / 500)  # O(N^2)-scaled CPU reference
 
 
-def _sync(x) -> float:
-    """Force completion with a device-side reduce + scalar readback.
-    (``block_until_ready`` returns at dispatch-accept, not completion, on
-    tunneled backends — a bare block under-reports by orders of magnitude.)"""
-    return float(jax.device_get(jnp.sum(x)))
-
-
 def main():
     from nbody_tpu.core.simulate import SimulationConfig, simulate
     from nbody_tpu.ics import generate_spiral
+    from nbody_tpu.utils.timing import fetch_scalar as _sync
 
     key = jax.random.PRNGKey(0)
     pos, vel, mass = generate_spiral(key, N_BODIES)

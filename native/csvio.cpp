@@ -47,7 +47,8 @@ int nbody_write_csv(const char* path,
         int32_t si = str_idx[r];
         if (si < 0 || si >= n_names) { std::fclose(f); std::free(iobuf); return -2; }
         *p++ = ',';
-        p += std::snprintf(p, 64, "%s", str_names[si]);
+        int sn = std::snprintf(p, 64, "%s", str_names[si]);
+        p += sn < 63 ? sn : 63;  // snprintf returns the UNtruncated length
         // remaining int columns
         for (int c = 1; c < n_int; ++c) {
             *p++ = ',';

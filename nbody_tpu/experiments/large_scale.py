@@ -67,8 +67,10 @@ def main(argv=None):
         direct_final = np.asarray(traj.positions[-1])
 
     if "surrogate" in args.modes:
+        # steps+1 rows = `steps` integration updates (row 0 is the seed
+        # state), aligning with simulate()'s `steps` updates.
         run = lambda: autoregressive_rollout(
-            model, variables, pos, vel, mass, steps, DT
+            model, variables, pos, vel, mass, steps + 1, DT
         )
         fetch_scalar(run()[0])
         (ps, _, _), el = device_time(run)
@@ -86,7 +88,7 @@ def main(argv=None):
             t = simulate(pos, vel, mass, w, cfg)
             return autoregressive_rollout(
                 model, variables, t.positions[-1], t.velocities[-1], mass,
-                steps - w, DT,
+                steps - w + 1, DT,
             )
 
         fetch_scalar(run_hybrid()[0])

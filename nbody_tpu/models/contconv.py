@@ -178,7 +178,7 @@ class ContinuousConvModel(nn.Module):
         for i in range(self.continuous_conv_layers):
             ci = (
                 self.in_channels
-                if (i == 0 and self.encoder_hiddens is None)
+                if (i == 0 and not self.encoder_hiddens)
                 else self.continuous_conv_dim
             )
             x = ContinuousConv(

@@ -25,9 +25,7 @@ import jax.numpy as jnp
 _INF = float(jnp.finfo(jnp.float32).max)
 
 
-def _pairwise_d2(pos):
-    diff = pos[None, :, :] - pos[:, None, :]
-    return jnp.sum(diff * diff, axis=-1)
+from nbody_tpu.core.forces import _pairwise_d2  # noqa: E402  (shared helper)
 
 
 # Above this size the (N, N) distance matrix stops fitting comfortably and we

@@ -11,7 +11,7 @@ arithmetic exact (no |a|^2+|b|^2-2ab cancellation) and entirely on the VPU.
 
 The kernel is *rectangular*: it computes forces exerted by a source set J on
 a target set I. ``diag_delta`` tells it where the self-interaction diagonal
-falls in global index space (global_i - global_j), which makes the same
+falls in local index space (global_j_base - global_i_base), which makes the same
 kernel serve both the single-device full product (delta=0) and each step of
 the multi-device ring (``nbody_tpu.parallel.ring``), where I and J are
 different shards of the global particle array.
@@ -43,7 +43,9 @@ def _force_kernel(fscal_ref, delta_ref, pos_i_ref, posT_j_ref, massT_j_ref, acc_
     """One (i, j) tile of the interaction sum.
 
     fscal_ref:   SMEM (2,) float32 = [g_const, softening]
-    delta_ref:   SMEM (1,) int32   = global_row_base - global_col_base
+    delta_ref:   SMEM (1,) int32   = global_col_base - global_row_base
+                 (a global self-pair row_g == col_g satisfies
+                  row_l - col_l == col_base - row_base)
     pos_i_ref:   VMEM (TI, 3)   target-tile positions (sublane-major)
     posT_j_ref:  VMEM (3, TJ)   source-tile positions, transposed (lane-major)
     massT_j_ref: VMEM (1, TJ)   source-tile masses (already validity-masked)
@@ -207,7 +209,9 @@ def pallas_partial_accelerations(
     excluded. Shapes must already be lane-aligned-friendly; this low-level
     entry point does NO padding (see :func:`pallas_accelerations`).
 
-    :param diag_delta: traced int32 scalar, global_i_base - global_j_base.
+    :param diag_delta: traced int32 scalar, global_j_base - global_i_base
+        (the local-index offset of the global diagonal). For cross-shard ring
+        blocks |diag_delta| >= the block size, so nothing is masked.
     """
     ni, nj = pos_i.shape[0], pos_j.shape[0]
     ti = min(tile_i, _round_up(ni, 8))

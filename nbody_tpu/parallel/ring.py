@@ -32,8 +32,9 @@ _HI = jax.lax.Precision.HIGHEST
 
 def _block_accelerations_dense(pos_i, pos_j, mass_j, g_const, softening, diag_delta):
     """Dense-XLA rectangular force block: acceleration of targets ``pos_i``
-    due to sources ``(pos_j, mass_j)``; the pair at global offset
-    ``diag_delta`` (= global_i - global_j) is excluded.
+    due to sources ``(pos_j, mass_j)``; self-pairs are excluded via
+    ``diag_delta`` (= global_j_base - global_i_base; a global self-pair
+    satisfies row_local - col_local == diag_delta).
 
     Same math as ``core.forces.pairwise_accelerations`` but shaped for a
     shard x shard block. Uses exact displacement differences (numerical
@@ -118,7 +119,7 @@ def ring_accelerations(
         def body(s, carry):
             acc, pj, mj = carry
             src = jnp.mod(my - s, n_dev)
-            delta = (my - src) * chunk  # global row base - global col base
+            delta = (src - my) * chunk  # global col base - global row base
             acc = acc + block_fn(pos_l, pj, mj, g_const, softening, delta)
             # Rotate the source chunk around the ICI ring (skip last hop's
             # result is still needed by nobody, but a uniform loop keeps the
@@ -160,7 +161,7 @@ def ring_energies(
         def body(s, carry):
             u, pj, mj = carry
             src = jnp.mod(my - s, n_dev)
-            delta = (my - src) * chunk
+            delta = (src - my) * chunk  # global col base - global row base
             ni, nj = pos_l.shape[0], pj.shape[0]
             sqi = jnp.sum(pos_l * pos_l, -1)
             sqj = jnp.sum(pj * pj, -1)

@@ -40,19 +40,21 @@ class PlateauScheduler:
     cooldown_counter: int = 0
 
     def step(self, metric: float) -> float:
-        """Update with this epoch's metric; returns the (possibly reduced) lr."""
+        """Update with this epoch's metric; returns the (possibly reduced)
+        lr. Mirrors torch's order exactly: best/num_bad update, then cooldown
+        decrement (which zeroes num_bad), then the patience check."""
         if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.num_bad_epochs = 0
-        elif self.cooldown_counter > 0:
-            self.cooldown_counter -= 1
-            self.num_bad_epochs = 0
         else:
             self.num_bad_epochs += 1
-            if self.num_bad_epochs > self.patience:
-                self.lr = max(self.lr * self.factor, self.min_lr)
-                self.cooldown_counter = self.cooldown
-                self.num_bad_epochs = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
         return self.lr
 
     def state_dict(self) -> dict:

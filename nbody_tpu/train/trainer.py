@@ -319,8 +319,11 @@ class Trainer:
             losses, mses = [], []
             for group in file_groups:
                 dev = self._device_buckets_merged(group)
+                import zlib
+
+                group_digest = zlib.crc32("|".join(group).encode())
                 rng_np = np.random.default_rng(
-                    self.epoch * 7919 + hash(tuple(group)) % 1000
+                    self.epoch * 7919 + group_digest % 1000
                 )
                 bucket_keys = list(dev.keys())
                 rng_np.shuffle(bucket_keys)
@@ -499,7 +502,7 @@ class Trainer:
                 graph_spec=rollout_graph_spec,
             )
 
-        key = ("rollout", gt.pos.shape[1], steps)
+        key = ("rollout", gt.pos.shape[1], steps, repr(rollout_graph_spec))
         if key not in self._rollout_warmed:
             fetch_scalar(run()[0])  # compile warm-up; reference step_time
             self._rollout_warmed.add(key)  # excludes compilation too
