@@ -180,3 +180,25 @@ def test_scaled_rmse_matches_reference_formula():
     )
     want_mse_m = ((pred[:, :7] - y[:, :7]) ** 2).mean()
     assert abs(float(mse_m) - want_mse_m) < 1e-12
+
+
+def test_zero_init_output_starts_at_zero():
+    x, _ = _batch(b=1, n=12, seed=9)
+    model = GraphModel(input_dim=4, gnn_dim=8, message_passing_steps=1,
+                       aggr="mean", neighbors=4, zero_init_output=True)
+    idx, valid = batched_knn_neighbors(x[..., :3], 4)
+    params = model.init(jax.random.PRNGKey(9), x, idx, valid)
+    out = model.apply(params, x, idx, valid)
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_contconv_empty_encoder_hiddens():
+    x, _ = _batch(b=1, n=10, seed=10)
+    model = ContinuousConvModel(in_channels=4, out_channels=3,
+                                filter_resolution=(3,), radius=1.0,
+                                continuous_conv_layers=1,
+                                continuous_conv_dim=8, encoder_hiddens=())
+    idx, valid = batched_radius_neighbors(x[..., :3], 1.0, k_max=6)
+    variables = model.init(jax.random.PRNGKey(10), x, idx, valid)
+    out = model.apply(variables, x, idx, valid)
+    assert out.shape == (1, 10, 3)

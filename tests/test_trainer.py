@@ -173,3 +173,13 @@ def test_merge_files_training(tiny_data):
     )
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_plateau_scheduler_cooldown_matches_torch():
+    """Cooldown decrements every epoch post-reduction, zeroing num_bad."""
+    s = PlateauScheduler(lr=1.0, factor=0.5, patience=1, threshold=1e-4,
+                         cooldown=2)
+    lrs = [s.step(m) for m in [10.0, 10.0, 10.0,  # bad x2 > patience -> cut
+                               5.0, 10.0,          # cooldown (improving, bad)
+                               10.0, 10.0]]        # bad x2 -> second cut
+    assert lrs == [1.0, 1.0, 0.5, 0.5, 0.5, 0.5, 0.25]
