@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true")
     p.add_argument("--merge-files", action="store_true")
     p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--train-seed", type=int, default=0)
     p.add_argument("--reference-init", action="store_true",
                    help="torch-style init for the decoder head (the default "
                         "zero-init avoids the saturation collapse)")
@@ -65,7 +66,7 @@ def main(argv=None):
         zero_init_output=not args.reference_init,
     )
     scheduler = PlateauScheduler(lr=args.lr)  # torch defaults, contconv_experiment.py:79
-    trainer = Trainer(model, learning_rate=args.lr, scheduler=scheduler, dt=1e-4)
+    trainer = Trainer(model, learning_rate=args.lr, scheduler=scheduler, dt=1e-4, seed=args.train_seed)
     print("Model and trainer initialized.")
 
     loss_csv = os.path.join(paths["results"], "epoch_loss.csv")

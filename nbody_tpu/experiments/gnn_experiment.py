@@ -31,6 +31,7 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true", help="tiny smoke config")
     p.add_argument("--merge-files", action="store_true")
     p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--train-seed", type=int, default=0)
     p.add_argument("--zero-init", action="store_true",
                    help="zero-init the decoder head (see models/mlp.py)")
     args = p.parse_args(argv)
@@ -66,7 +67,7 @@ def main(argv=None):
         zero_init_output=args.zero_init,
     )
     scheduler = PlateauScheduler(lr=args.lr, factor=0.25, patience=5)
-    trainer = Trainer(model, learning_rate=args.lr, scheduler=scheduler, dt=1e-4)
+    trainer = Trainer(model, learning_rate=args.lr, scheduler=scheduler, dt=1e-4, seed=args.train_seed)
     print("Model and trainer initialized.")
 
     loss_csv = os.path.join(paths["results"], "epoch_loss.csv")
