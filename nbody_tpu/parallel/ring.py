@@ -209,12 +209,15 @@ def ring_simulate(
     backend: str = "dense",
     calc_energy: bool = False,
     axis: str = PARTICLE_AXIS,
+    return_trajectory: bool = False,
 ):
     """Multi-device leapfrog/Euler rollout: ``lax.scan`` over ring force
     evaluations; state stays sharded on the particle axis for the whole run.
 
     Returns (pos, vel, acc) final state, plus (u, k) energy traces of shape
-    (steps,) when ``calc_energy``.
+    (steps,) when ``calc_energy``. With ``return_trajectory`` the first
+    element is instead the full stacked (steps, N, 3) trajectory arrays,
+    sharded on the particle axis (mind HBM: steps x N x 36 bytes).
     """
     sharding = NamedSharding(mesh, P(axis, None))
     msharding = NamedSharding(mesh, P(axis))
@@ -238,9 +241,14 @@ def ring_simulate(
                 u, k = ring_energies(p, v, mass, g_const, softening, mesh, axis)
             else:
                 u = k = jnp.float32(0)
-            return (p, v, a), (u, k)
+            out = (p, v, a, u, k) if return_trajectory else (u, k)
+            return (p, v, a), out
 
-        (p, v, a), (us, ks) = jax.lax.scan(body, (pos, vel, acc0), None, length=steps)
+        (p, v, a), out = jax.lax.scan(body, (pos, vel, acc0), None, length=steps)
+        if return_trajectory:
+            ps, vs, accs, us, ks = out
+            return ps, vs, accs, us, ks
+        us, ks = out
         return p, v, a, us, ks
 
     p, v, a, us, ks = run(pos, vel)

@@ -64,3 +64,21 @@ def test_ring_pallas_interpret_matches_dense(mesh8):
     dense = np.asarray(pairwise_accelerations(pos, mass, G, EPS))
     scale = np.abs(dense).max()
     np.testing.assert_allclose(ring_p / scale, dense / scale, atol=2e-5)
+
+
+def test_ring_simulate_full_trajectory(mesh8):
+    pos, vel, mass = _system(64, seed=7)
+    steps, dt = 8, 1e-3
+    (ps, vs, accs), (us, ks) = ring_simulate(
+        pos, vel, mass, steps, G, EPS, dt, mesh8,
+        calc_energy=True, return_trajectory=True,
+    )
+    assert ps.shape == (steps, 64, 3) and us.shape == (steps,)
+    cfg = SimulationConfig(g_const=G, softening=EPS, dt=dt,
+                           integrator="leapfrog", calc_energy=True,
+                           force_backend="dense")
+    traj = simulate(pos, vel, mass, steps, cfg)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(traj.positions),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(traj.u_energy),
+                               rtol=1e-5, atol=1e-12)
