@@ -1,5 +1,11 @@
 from nbody_tpu.train.trainer import Trainer
 from nbody_tpu.train.optim import PlateauScheduler, make_optimizer
-from nbody_tpu.train.rollout import autoregressive_rollout
+from nbody_tpu.train.rollout import autoregressive_rollout, predict_accelerations
 
-__all__ = ["Trainer", "PlateauScheduler", "make_optimizer", "autoregressive_rollout"]
+__all__ = [
+    "Trainer",
+    "PlateauScheduler",
+    "make_optimizer",
+    "autoregressive_rollout",
+    "predict_accelerations",
+]

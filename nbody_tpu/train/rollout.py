@@ -19,6 +19,20 @@ import jax.numpy as jnp
 from nbody_tpu.train.graphs import build_graph
 
 
+@partial(jax.jit, static_argnames=("model",))
+def predict_accelerations(model, variables, pos, vel, mass):
+    """Single-snapshot surrogate force — the reference's ``model.predict``
+    (gnn.py:205-215 / contconv.py:261-271): build the model's neighbor graph
+    from positions on device, run the forward pass.
+
+    :param pos/vel: (N, 3); :param mass: (N,).
+    :return: (N, 3) predicted accelerations.
+    """
+    x = jnp.concatenate([pos, vel, mass[:, None]], axis=-1)[None]
+    idx, valid = build_graph(model.graph_spec, x[..., :3])
+    return model.apply(variables, x, idx, valid, train=False)[0]
+
+
 @partial(jax.jit, static_argnames=("model", "steps", "graph_spec"))
 def autoregressive_rollout(
     model,

@@ -183,3 +183,15 @@ def test_plateau_scheduler_cooldown_matches_torch():
                                5.0, 10.0,          # cooldown (improving, bad)
                                10.0, 10.0]]        # bad x2 -> second cut
     assert lrs == [1.0, 1.0, 0.5, 0.5, 0.5, 0.5, 0.25]
+
+
+def test_predict_accelerations_matches_rollout_seed():
+    from nbody_tpu.train.rollout import predict_accelerations
+
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.normal(size=(9, 3)).astype(np.float32))
+    vel = jnp.asarray(rng.normal(size=(9, 3)).astype(np.float32))
+    mass = jnp.asarray(rng.uniform(0.5, 1, 9).astype(np.float32))
+    acc = predict_accelerations(_GravityOracle(), {}, pos, vel, mass)
+    want = pairwise_accelerations(pos, mass, G, EPS)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(want), rtol=1e-5)
