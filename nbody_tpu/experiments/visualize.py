@@ -78,6 +78,7 @@ def plot_stepwise(base, names, outdir):
             scenes = df["scene"].to_numpy()
             xs = np.arange(len(scenes))
             ax.bar(xs + i * width, df[metric], width, label=name)
+        n_series = len(names)
         if with_gt and scene_info:
             xs = np.arange(len(scene_info))
             ax.bar(
@@ -87,8 +88,11 @@ def plot_stepwise(base, names, outdir):
                 label="leapfrog (ground truth)",
                 color="green",
             )
+            n_series += 1
         if scene_info:
-            ax.set_xticks(np.arange(len(scene_info)) + width / 2)
+            ax.set_xticks(
+                np.arange(len(scene_info)) + width * (n_series - 1) / 2
+            )
             ax.set_xticklabels([scene_info[s][0] for s in sorted(scene_info)])
         ax.set_xlabel("n_bodies")
         ax.set_ylabel(ylabel)
