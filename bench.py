@@ -15,7 +15,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
 N_BODIES = 10_000
 STEPS = 200
