@@ -44,13 +44,20 @@ def main(argv=None):
     p.add_argument("--neighbors", type=int, default=10)
     p.add_argument("--modes", nargs="+",
                    default=["direct", "surrogate", "hybrid"])
+    p.add_argument("--knn-method", default="morton",
+                   choices=["exact", "approx", "morton"],
+                   help="surrogate neighbor search (morton = the O(N*W) "
+                        "production path, ops/spatial.py)")
+    p.add_argument("--knn-window", type=int, default=96)
+    p.add_argument("--out", default=None, help="JSON artifact path")
     args = p.parse_args(argv)
 
     n, steps = args.n_bodies, args.steps
     pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
 
     model = GraphModel(input_dim=4, gnn_dim=64, message_passing_steps=2,
-                       aggr="mean", neighbors=args.neighbors, scale_factor=1e6)
+                       aggr="mean", neighbors=args.neighbors, scale_factor=1e6,
+                       knn_method=args.knn_method, knn_window=args.knn_window)
     x0 = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
     idx, valid = build_graph(model.graph_spec, x0[..., :3])
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0, idx, valid)
@@ -97,6 +104,25 @@ def main(argv=None):
 
     for mode, r in results.items():
         print(json.dumps({"mode": mode, "n_bodies": n, "steps": steps, **r}))
+
+    if args.out:
+        import os
+
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(
+                {
+                    "n_bodies": n,
+                    "steps": steps,
+                    "knn_method": args.knn_method,
+                    "knn_window": args.knn_window,
+                    "device": jax.devices()[0].platform,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

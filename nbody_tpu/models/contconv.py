@@ -159,8 +159,13 @@ class ContinuousConvModel(nn.Module):
         return list(fr)
 
     @nn.compact
-    def __call__(self, x, nbr_idx, nbr_valid, train: bool = False):
+    def __call__(self, x, nbr_idx, nbr_valid, train: bool = False,
+                 node_mask=None):
         """:param x: (B, N, 7) node features [pos | vel | mass].
+        :param node_mask: optional (B, N) validity for padded nodes. The
+            encoder's BatchNorm computes batch statistics over exactly the
+            valid nodes (torch BatchNorm1d sees only real nodes because PyG
+            batches are unpadded, contconv.py:135-141).
         :return: (B, N, out_channels) predicted accelerations.
         """
         x = select_input_features(x, self.in_channels)
@@ -171,7 +176,7 @@ class ContinuousConvModel(nn.Module):
                 tuple(self.encoder_hiddens) + (self.continuous_conv_dim,),
                 dropout=self.encoder_dropout,
                 norm="batch_norm",  # PyG MLP default kept by contconv.py:136
-            )(x, train=train)
+            )(x, train=train, mask=node_mask)
         encoder_output = x
 
         resolutions = self._resolutions()

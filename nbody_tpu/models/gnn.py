@@ -64,23 +64,32 @@ class GraphModel(nn.Module):
     neighbors: int = 50
     scale_factor: float = 1.0
     zero_init_output: bool = False
-    knn_approx: bool = False  # approx_max_k candidate selection (~3.5x faster
-    # at 100k bodies, recall ~0.95) — for large-N rollouts
+    knn_approx: bool = False  # legacy alias for knn_method="approx"
+    knn_method: Optional[str] = None  # None/"exact" | "approx" | "morton";
+    # "morton" is the O(N·W) large-N search (ops/spatial.py) that makes
+    # surrogate rollouts beat the direct-sum kernel at 20k+ bodies
+    knn_window: int = 96  # morton candidate half-window per curve
 
     @property
     def graph_spec(self):
         """How the data pipeline must build neighbor lists for this model."""
-        return (
-            "knn",
-            {"k": self.neighbors, "include_self": False,
-             "approx": self.knn_approx},
-        )
+        method = self.knn_method or ("approx" if self.knn_approx else "exact")
+        spec = {"k": self.neighbors, "include_self": False, "method": method}
+        if method == "morton":
+            spec["window"] = self.knn_window
+        return ("knn", spec)
 
     @nn.compact
-    def __call__(self, x, nbr_idx, nbr_valid, train: bool = False):
+    def __call__(self, x, nbr_idx, nbr_valid, train: bool = False,
+                 node_mask=None):
         """:param x: (B, N, 7) node features [pos | vel | mass].
         :param nbr_idx: (B, N, k) int32 neighbor indices.
         :param nbr_valid: (B, N, k) bool neighbor validity.
+        :param node_mask: optional (B, N) validity for padded nodes — accepted
+            for API parity with :class:`ContinuousConvModel`; every layer here
+            is per-node (the encoder MLP has ``norm=None``, gnn.py:62, and
+            LayerNorm normalises within each node), so padding cannot leak
+            into valid nodes' statistics and the mask is not needed.
         :return: (B, N, output_dim) predicted accelerations.
         """
         x = select_input_features(x, self.input_dim)

@@ -99,12 +99,13 @@ class Trainer:
                 if self._has_bn:
                     v["batch_stats"] = state.batch_stats
                     pred, mut = model.apply(
-                        v, x, idx, valid, train=True,
+                        v, x, idx, valid, train=True, node_mask=mask,
                         rngs={"dropout": rng}, mutable=["batch_stats"],
                     )
                 else:
                     pred = model.apply(
-                        v, x, idx, valid, train=True, rngs={"dropout": rng}
+                        v, x, idx, valid, train=True, node_mask=mask,
+                        rngs={"dropout": rng},
                     )
                     mut = {}
                 loss, mse = scaled_rmse_and_mse(pred, y, scale, node_mask=mask)
@@ -124,7 +125,9 @@ class Trainer:
 
         def eval_step(state, x, y, mask):
             idx, valid = build_graph(spec, x[..., :3], mask)
-            pred = model.apply(variables_of(state), x, idx, valid, train=False)
+            pred = model.apply(
+                variables_of(state), x, idx, valid, train=False, node_mask=mask
+            )
             # stepwise eval uses the RAW rmse, not the scaled one (gnn.py:199)
             mse = masked_mse(pred, y, mask)
             return jnp.sqrt(mse), mse
@@ -137,17 +140,22 @@ class Trainer:
         else:
             batch_sharding = None
 
-        def train_step_gather(state, x_full, y_full, sel, batch_valid, rng):
+        def train_step_gather(state, x_full, y_full, nv_full, sel, batch_valid, rng):
             """Device-resident batching: the whole bucket lives on device and
             each step gathers its batch by index — no per-batch host->device
             payload (the per-batch transfer was the wall-clock bottleneck on
-            tunneled TPU backends). With a mesh, the gathered batch is
-            sharded across the "data" axis (dp)."""
+            tunneled TPU backends). ``nv_full`` holds each snapshot's real
+            body count so mixed-size pools (padded to a shared N) get exact
+            node masks; ``batch_valid`` rows are tail padding and enter
+            neither the loss nor the BatchNorm statistics (the reference's
+            partial batches are exact, trainer.py:63-65). With a mesh, the
+            gathered batch is sharded across the "data" axis (dp)."""
             x = x_full[sel]
             y = y_full[sel]
-            mask = jnp.broadcast_to(
-                batch_valid[:, None], (sel.shape[0], x_full.shape[1])
-            )
+            nv = nv_full[sel]
+            mask = (
+                jnp.arange(x_full.shape[1])[None, :] < nv[:, None]
+            ) & batch_valid[:, None]
             if batch_sharding is not None:
                 x = jax.lax.with_sharding_constraint(x, batch_sharding)
                 y = jax.lax.with_sharding_constraint(y, batch_sharding)
@@ -164,7 +172,7 @@ class Trainer:
             _, (losses, mses) = jax.lax.scan(body, 0, None, length=reps)
             return losses[-1], mses[-1]
 
-        def train_bucket(state, x_full, y_full, sels, valids, rngs):
+        def train_bucket(state, x_full, y_full, nv_full, sels, valids, rngs):
             """One dispatch per (file, bucket): lax.scan over all its batches.
             Per-batch Python dispatch (RPC control latency on tunneled
             backends) was the epoch bottleneck even with device-resident
@@ -173,7 +181,7 @@ class Trainer:
             def body(carry, inp):
                 sel, bv, rng = inp
                 new_state, loss, mse = train_step_gather(
-                    carry, x_full, y_full, sel, bv, rng
+                    carry, x_full, y_full, nv_full, sel, bv, rng
                 )
                 return new_state, (loss, mse)
 
@@ -249,11 +257,16 @@ class Trainer:
         return self._ds_cache[path]
 
     def _device_buckets(self, path: str):
-        """Per-file buckets resident on device: {n_bodies: (x, y) jnp arrays}."""
+        """Per-file buckets resident on device:
+        {n_bodies: (x, y, n_valid) jnp arrays}."""
         if path not in self._dev_cache:
             ds = self._dataset(path)
             self._dev_cache[path] = {
-                n: (jnp.asarray(b.x), jnp.asarray(b.y))
+                n: (
+                    jnp.asarray(b.x),
+                    jnp.asarray(b.y),
+                    jnp.full((b.x.shape[0],), n, jnp.int32),
+                )
                 for n, b in ds.buckets.items()
             }
         return self._dev_cache[path]
@@ -272,8 +285,43 @@ class Trainer:
                 n: (
                     jnp.asarray(np.concatenate([x for x, _ in parts])),
                     jnp.asarray(np.concatenate([y for _, y in parts])),
+                    jnp.full(
+                        (sum(x.shape[0] for x, _ in parts),), n, jnp.int32
+                    ),
                 )
                 for n, parts in pooled.items()
+            }
+        return self._dev_cache[key]
+
+    def _device_buckets_mixed(self, paths):
+        """One pool of ALL snapshots padded to the shared max body count, so
+        batches mix scene sizes exactly like the reference's PyG DataLoader
+        (``trainer.py:63-65`` + ``datautils.py:51-53``: batch_size=64 graphs
+        drawn from a shuffled file regardless of size). Returned as a single
+        pseudo-bucket {max_n: (x, y, n_valid)}; the per-snapshot ``n_valid``
+        yields exact node masks so padding enters neither loss nor BatchNorm."""
+        key = ("mixed",) + tuple(paths)
+        if key not in self._dev_cache:
+            xs, ys, nvs = [], [], []
+            max_n = max(
+                n for p in paths for n in self._dataset(p).buckets.keys()
+            )
+            for p in paths:
+                for n, b in self._dataset(p).buckets.items():
+                    s = b.x.shape[0]
+                    xs.append(
+                        np.pad(b.x, ((0, 0), (0, max_n - n), (0, 0)))
+                    )
+                    ys.append(
+                        np.pad(b.y, ((0, 0), (0, max_n - n), (0, 0)))
+                    )
+                    nvs.append(np.full(s, n, np.int32))
+            self._dev_cache[key] = {
+                max_n: (
+                    jnp.asarray(np.concatenate(xs)),
+                    jnp.asarray(np.concatenate(ys)),
+                    jnp.asarray(np.concatenate(nvs)),
+                )
             }
         return self._dev_cache[key]
 
@@ -288,6 +336,7 @@ class Trainer:
         verbose: bool = True,
         on_epoch_end=None,
         merge_files: bool = False,
+        mixed_batches: bool = False,
     ) -> Tuple[List[float], List[float]]:
         """Reference ``train_from_dir`` (trainer.py:20-92). Returns
         (epoch_losses, epoch_mse_losses) — means over all batches.
@@ -299,7 +348,13 @@ class Trainer:
             batches mix scenes across files. The reference iterates one file
             at a time (trainer.py:63-65), which makes batches highly
             correlated (consecutive steps of one galaxy); merging improves
-            gradient diversity. Off by default for reference parity."""
+            gradient diversity. Off by default for reference parity.
+        :param mixed_batches: draw each batch from ALL of a file's snapshots
+            regardless of body count (padded to the shared max N with exact
+            node masks) — the reference's PyG DataLoader semantics, where a
+            batch of 64 graphs mixes 3..500-body scenes. The default bucketed
+            mode keeps batches single-size (cheaper: no padding compute) but
+            changes the gradient composition relative to the reference."""
         csv_files = sorted(glob(os.path.join(data_path, "*.csv")))
         if not csv_files:
             raise FileNotFoundError(f"no CSVs under {data_path}")
@@ -318,7 +373,11 @@ class Trainer:
         for e in range(epochs):
             losses, mses = [], []
             for group in file_groups:
-                dev = self._device_buckets_merged(group)
+                dev = (
+                    self._device_buckets_mixed(group)
+                    if mixed_batches
+                    else self._device_buckets_merged(group)
+                )
                 import zlib
 
                 group_digest = zlib.crc32("|".join(group).encode())
@@ -328,7 +387,7 @@ class Trainer:
                 bucket_keys = list(dev.keys())
                 rng_np.shuffle(bucket_keys)
                 for n in bucket_keys:
-                    x_full, y_full = dev[n]
+                    x_full, y_full, nv_full = dev[n]
                     s = x_full.shape[0]
                     nb = -(-s // batch_size)
                     order = rng_np.permutation(s)
@@ -336,26 +395,19 @@ class Trainer:
                     valids = np.zeros((nb, batch_size), bool)
                     for b, start in enumerate(range(0, s, batch_size)):
                         sel = order[start : start + batch_size]
+                        # The final partial batch stays EXACT: tail slots keep
+                        # valid=False and enter neither the loss nor the
+                        # BatchNorm statistics (MaskedBatchNorm), matching the
+                        # reference's unpadded partial batches.
                         sels[b, : len(sel)] = sel
                         valids[b, : len(sel)] = True
-                        if len(sel) < batch_size:
-                            # Fill the tail with extra random REAL snapshots
-                            # (valid, so they enter the loss with a duplicate's
-                            # weight) instead of zero rows: all-zero padding
-                            # corrupts BatchNorm statistics for the whole
-                            # batch (the ContConv encoder keeps PyG's
-                            # batch_norm default).
-                            extra = rng_np.choice(
-                                s, batch_size - len(sel), replace=s < batch_size
-                            )
-                            sels[b, len(sel):] = extra
-                            valids[b, len(sel):] = True
                     self.rng, sub = jax.random.split(self.rng)
                     keys = jax.random.split(sub, nb)
                     self.state, bucket_losses, bucket_mses = self._train_bucket(
                         self.state,
                         x_full,
                         y_full,
+                        nv_full,
                         jnp.asarray(sels),
                         jnp.asarray(valids),
                         keys,

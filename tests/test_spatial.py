@@ -1,0 +1,134 @@
+"""Morton-curve kNN (``ops/spatial.py``) — correctness + recall on the actual
+clustered galaxy IC distributions (the case that kills the fixed-cell hash
+grid, ``ops/hashgrid.py:27-33``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.ics import generate_disk, generate_spiral
+from nbody_tpu.ops.knn import knn_neighbors
+from nbody_tpu.ops.spatial import batched_knn_morton, knn_morton, morton_keys
+
+
+def _recall(idx_a, valid_a, idx_b, valid_b):
+    """Fraction of exact neighbor slots (b) recovered by (a)."""
+    hits = tot = 0
+    for i in range(idx_b.shape[0]):
+        exact = set(np.asarray(idx_b[i][valid_b[i]]).tolist())
+        got = set(np.asarray(idx_a[i][valid_a[i]]).tolist())
+        hits += len(exact & got)
+        tot += len(exact)
+    return hits / max(tot, 1)
+
+
+def test_morton_keys_basics():
+    """Identical points share keys; the far bbox corner of a cubic box has
+    all 30 bits set; masked rows sort last."""
+    pos = jnp.asarray([[0.0, 0, 0], [0, 0, 0], [1, 1, 1], [0.5, 0.5, 0.5]])
+    keys = morton_keys(pos)
+    assert int(keys[0]) == int(keys[1])
+    assert int(keys[2]) == (2**30 - 1)
+    mask = jnp.asarray([True, True, True, False])
+    keys_m = morton_keys(pos, mask=mask)
+    assert int(keys_m[3]) == 0x7FFFFFFF
+
+    # shifted / rotated copies produce different orderings
+    k0 = morton_keys(pos)
+    ks = morton_keys(pos, shift=0.41)
+    assert not np.array_equal(np.asarray(k0), np.asarray(ks))
+
+
+def test_morton_keys_isotropic_quantisation():
+    """One scale for all axes: a thin slab must quantise z to few distinct
+    values instead of stretching it to the full 10 bits (per-axis scaling
+    measured recall 0.39 on disks vs 0.96 isotropic)."""
+    # bbox spans 20 in x/y but only 0.1 in z; the isotropic cell size is
+    # 20/1023 ~ 0.0196, so a 0.01 z-separation is sub-cell (same key) —
+    # per-axis scaling would put ~100 cells between the two points.
+    pos = jnp.asarray(
+        [[0.0, 0.0, 0.0], [0.0, 0.0, 0.01], [20.0, 20.0, 0.1]]
+    )
+    keys = morton_keys(pos)
+    assert int(keys[0]) == int(keys[1])
+
+
+def test_knn_morton_exact_when_window_covers_all():
+    """With a window spanning the whole array the result must equal the
+    exact kNN (same contract as ops/knn.py)."""
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (100, 3))
+    idx_e, valid_e = knn_neighbors(pos, 5)
+    idx_m, valid_m = knn_morton(pos, 5, window=100)
+    assert _recall(idx_m, valid_m, idx_e, valid_e) == 1.0
+    np.testing.assert_array_equal(np.asarray(valid_m), np.asarray(valid_e))
+
+
+@pytest.mark.parametrize("maker", [generate_disk, generate_spiral])
+def test_knn_morton_recall_on_galaxy_profiles(maker):
+    """>=0.99 recall at k=10 with defaults on clustered profiles — the
+    production large-N requirement (VERDICT round 1, item 1)."""
+    pos, _, _ = maker(jax.random.PRNGKey(1), 4000)
+    idx_e, valid_e = knn_neighbors(pos, 10)
+    idx_m, valid_m = knn_morton(pos, 10)
+    r = _recall(idx_m, valid_m, idx_e, valid_e)
+    assert r >= 0.99, f"recall {r:.4f} < 0.99"
+
+
+def test_knn_morton_chunked_matches_unchunked():
+    pos = jax.random.normal(jax.random.PRNGKey(2), (700, 3))
+    idx_a, valid_a = knn_morton(pos, 6, chunk_size=128)
+    idx_b, valid_b = knn_morton(pos, 6, chunk_size=4096)
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_array_equal(np.asarray(valid_a), np.asarray(valid_b))
+
+
+def test_knn_morton_mask_and_self():
+    """Masked-out rows are never selected and have no neighbors; include_self
+    puts each node first in its own list (d=0)."""
+    pos = jax.random.normal(jax.random.PRNGKey(3), (50, 3))
+    mask = jnp.arange(50) < 40
+    idx, valid = knn_morton(pos, 4, mask=mask, window=10)
+    assert not np.any(np.asarray(idx[np.asarray(valid)]) >= 40)
+    assert not np.asarray(valid[40:]).any()
+
+    idx_s, valid_s = knn_morton(pos, 4, include_self=True, window=10)
+    np.testing.assert_array_equal(np.asarray(idx_s[:, 0]), np.arange(50))
+
+
+def test_knn_morton_no_duplicate_neighbors():
+    """The multi-curve union must dedup: no node id may appear twice in one
+    row's valid slots."""
+    pos, _, _ = generate_disk(jax.random.PRNGKey(4), 500)
+    idx, valid = knn_morton(pos, 10, window=16)
+    for i in range(500):
+        ids = np.asarray(idx[i][valid[i]])
+        assert len(ids) == len(set(ids.tolist()))
+
+
+def test_batched_knn_morton():
+    pos = jax.random.normal(jax.random.PRNGKey(5), (3, 60, 3))
+    idx, valid = batched_knn_morton(pos, 5, window=12)
+    assert idx.shape == (3, 60, 5)
+    idx0, valid0 = knn_morton(pos[0], 5, window=12)
+    np.testing.assert_array_equal(np.asarray(idx[0]), np.asarray(idx0))
+
+
+def test_build_graph_morton_dispatch():
+    from nbody_tpu.train.graphs import build_graph
+
+    pos = jax.random.normal(jax.random.PRNGKey(6), (2, 40, 3))
+    idx, valid = build_graph(
+        ("knn", {"k": 4, "method": "morton", "window": 40}), pos
+    )
+    idx_e, valid_e = build_graph(("knn", {"k": 4}), pos)
+    assert _recall(idx[0], valid[0], idx_e[0], valid_e[0]) == 1.0
+
+
+def test_graph_model_morton_spec():
+    from nbody_tpu.models import GraphModel
+
+    m = GraphModel(neighbors=10, knn_method="morton", knn_window=48)
+    kind, kw = m.graph_spec
+    assert kind == "knn" and kw["method"] == "morton" and kw["window"] == 48
