@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--quick", action="store_true", help="tiny smoke config")
     p.add_argument("--merge-files", action="store_true")
+    p.add_argument("--batch-mode", default="bucketed",
+                   choices=["bucketed", "mixed", "reference"],
+                   help="batch composition (see Trainer.train_from_dir); "
+                        "'reference' reproduces the mixed-size DataLoader "
+                        "batches of the reference recipe")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--train-seed", type=int, default=0)
     p.add_argument("--zero-init", action="store_true",
@@ -83,6 +88,7 @@ def main(argv=None):
         save_path=paths["weights"],
         on_epoch_end=_persist_losses,
         merge_files=args.merge_files,
+        batch_mode=args.batch_mode,
     )
     print("Training completed, evaluating model.")
 

@@ -68,7 +68,7 @@ class GraphModel(nn.Module):
     knn_method: Optional[str] = None  # None/"exact" | "approx" | "morton";
     # "morton" is the O(N·W) large-N search (ops/spatial.py) that makes
     # surrogate rollouts beat the direct-sum kernel at 20k+ bodies
-    knn_window: int = 96  # morton candidate half-window per curve
+    knn_window: int = 64  # morton candidate half-window per curve
 
     @property
     def graph_spec(self):

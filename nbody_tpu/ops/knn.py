@@ -128,6 +128,45 @@ def _knn_chunked(pos, k, mask, include_self, chunk_size, approx=False):
     return idx, valid
 
 
+def knn_query(
+    pos_q: jax.Array,
+    pos_c: jax.Array,
+    k: int,
+    q_offset=0,
+    include_self: bool = False,
+    mask_c: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """k nearest *candidates* for a separate query set — the asymmetric kNN
+    used by the particle-sharded surrogate (``parallel/surrogate.py``): each
+    device's query shard searches the all-gathered candidate array.
+
+    :param pos_q: (Nq, 3) query positions (a shard of the candidates).
+    :param pos_c: (Nc, 3) candidate positions (the full array).
+    :param q_offset: global index of query row 0 within the candidate array
+        (used to exclude each query's own candidate slot). May be traced
+        (e.g. ``axis_index * shard``).
+    :param mask_c: optional (Nc,) candidate validity.
+    :return: (idx, valid) — (Nq, k) int32 indices into the candidate array.
+    """
+    nq, nc = pos_q.shape[0], pos_c.shape[0]
+    k = min(k, nc)
+    d2 = (
+        jnp.sum(pos_q * pos_q, axis=1)[:, None]
+        + jnp.sum(pos_c * pos_c, axis=1)[None, :]
+        - 2.0 * jnp.matmul(pos_q, pos_c.T, precision=jax.lax.Precision.HIGHEST)
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    cols = jnp.arange(nc)[None, :]
+    if not include_self:
+        rows = q_offset + jnp.arange(nq)
+        d2 = jnp.where(cols == rows[:, None], _INF, d2)
+    if mask_c is not None:
+        d2 = jnp.where(mask_c.astype(bool)[None, :], d2, _INF)
+    neg, idx = jax.lax.top_k(-d2, k)
+    valid = neg > -_INF
+    return jnp.where(valid, idx, 0).astype(jnp.int32), valid
+
+
 def batched_knn_neighbors(pos, k, mask=None, include_self=False, approx=False):
     """vmap of :func:`knn_neighbors` over a leading batch axis.
 

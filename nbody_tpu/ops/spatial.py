@@ -2,10 +2,11 @@
 (SURVEY.md §7 hard part (a); the role of ``torch_cluster.knn_graph`` at
 reference ``datautils.py:36`` / ``contconv.py:225`` at 100k-body scale).
 
-The exact streamed search (``ops/knn.py``) is O(N^2) distances: ~0.53 s for
-kNN(10) at 100k bodies — slower than the direct-sum force kernel itself, so
-surrogates had no large-N reason to exist. The grid-hash (``ops/hashgrid.py``)
-needs quasi-uniform density and fails on clustered galaxy profiles.
+The exact streamed search (``ops/knn.py``) is O(N^2) distances: ~1 s for
+kNN(10) at 100k bodies on a v5e chip — slower than the direct-sum force
+kernel itself, so surrogates had no large-N reason to exist. The grid-hash
+(``ops/hashgrid.py``) needs quasi-uniform density and fails on clustered
+galaxy profiles.
 
 This module is the adaptive replacement: sort particles along Morton
 (Z-order) curves and take each particle's candidates from a window of its
@@ -22,14 +23,21 @@ actual galaxy IC distributions (``experiments/knn_recall.py``):
   misses neighbors across cell-boundary discontinuities; axis-permuted
   interleavings share the same discontinuity planes and gain little
   (+0.05). Translated copies move the cell boundaries; 45-degree-rotated
-  copies move the *directions* of the boundary planes. Two shifts + two
-  rotations measured 0.999 (disk) / 0.992 (spiral) recall at k=10, W=96.
-- **Windows wrap modulo N** so every node appears at most once per curve,
-  which bounds duplicates to ``n_copies`` and makes a ``n_copies * k``
-  pre-selection provably sufficient before dedup.
+  copies move the *directions* of the boundary planes.
+- **Blocked sliding windows in sorted order.** Everything TPU-hostile is
+  designed out: there are NO random gathers anywhere. Positions are carried
+  through the sort as extra ``lax.sort`` operands (a (N,3) row gather by a
+  permutation measured ~450 ms at 100k — the sort itself is ~20x cheaper);
+  candidate windows are *contiguous slices* of the sorted array processed in
+  blocks of B rows, so candidate distances are one (B, B+2W) norm-expansion
+  MXU matmul per block; per-block selection is a k-pass min-extraction
+  (lax.top_k lowers to a full bitonic row sort on TPU — measured 2x slower);
+  results return to original row order with a single scatter (OOB rows
+  dropped). A block row sees candidates spanning its whole block, so the
+  effective window is W..W+B per side, wider than the nominal W.
 
-Everything is static-shape, O(N·W) memory, one argsort per copy per call —
-jittable, vmappable, and cheap enough to rebuild per rollout step.
+Everything is static-shape, O(N·(B+2W)) work, one payload sort per copy per
+call — jittable, vmappable, and cheap enough to rebuild per rollout step.
 """
 
 from __future__ import annotations
@@ -40,6 +48,7 @@ import jax
 import jax.numpy as jnp
 
 _INF = float(jnp.finfo(jnp.float32).max)
+_BIG = 1e15  # sentinel coordinate for padded/masked rows (d2 ~ 1e30 < _INF)
 _N_BITS = 10  # 1024^3 virtual grid; 3*10 bits fit an int32 Morton key
 _MAX_Q = 2**_N_BITS - 1
 
@@ -95,29 +104,100 @@ def morton_keys(
     return key
 
 
-def _candidates(pos, mask, window, n_copies):
-    """(N, C) candidate indices: union of sorted-order windows over the
-    shifted/rotated Morton curves (C = n_copies * (2*window + 1)).
+def _select_k(d2: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-row k smallest of d2 (B, C) -> (sel (B, k) col indices, d2 (B, k)).
 
-    Windows wrap modulo N (not clip): wrapping keeps every node appearing at
-    most once per curve, which the dedup slack in :func:`knn_morton` relies
-    on — clipping would pile duplicates onto the array ends. When the window
-    already covers the whole array this degenerates to the dense candidate
-    set."""
+    k-pass min-extraction: each pass takes the row minimum and masks its
+    column. ~2x faster than ``lax.top_k`` on TPU for k<=16 (top_k lowers to
+    a full bitonic row sort); falls back to top_k for large k."""
+    if k > 16:
+        neg, sel = jax.lax.top_k(-d2, k)
+        return sel, -neg
+    cols = jnp.arange(d2.shape[1])[None, :]
+    sels, vals = [], []
+    for _ in range(k):
+        am = jnp.argmin(d2, axis=1)
+        vals.append(jnp.min(d2, axis=1))
+        sels.append(am.astype(jnp.int32))
+        d2 = jnp.where(cols == am[:, None], _INF, d2)
+    return jnp.stack(sels, axis=1), jnp.stack(vals, axis=1)
+
+
+def _copy_pass(pos, gid, k, block, window, rot, shift, include_self, mask):
+    """One curve copy: payload-sort into curve order, blocked sliding-window
+    distances + selection, results keyed by original row ids.
+
+    :return: (qg (nb*B,), idx (nb*B, k) global ids, d2 (nb*B, k)) — rows in
+        sorted order; ``qg`` maps each row back to its original id (pad rows
+        carry qg = n, one past the valid range, for scatter-drop)."""
     n = pos.shape[0]
-    if 2 * window + 1 >= n:
-        return jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (n, n))
-    offs = jnp.arange(-window, window + 1)
-    cands = []
-    for rot, shift in _COPIES[:n_copies]:
-        keys = morton_keys(pos, mask, shift=shift, rot=rot)
-        perm = jnp.argsort(keys)  # sorted order -> node id
-        rank = jnp.zeros((n,), jnp.int32).at[perm].set(
-            jnp.arange(n, dtype=jnp.int32)
+    b, w = block, window
+    keys = morton_keys(pos, mask, shift=shift, rot=rot)
+    if mask is not None:  # masked rows: sentinel coords, never neighbors
+        pos = jnp.where(mask.astype(bool)[:, None], pos, _BIG)
+    _, sx, sy, sz, sg = jax.lax.sort(
+        (keys, pos[:, 0], pos[:, 1], pos[:, 2], gid), num_keys=1
+    )
+    spos = jnp.stack([sx, sy, sz], axis=1)
+
+    nb = -(-n // b)
+    spos_p = jnp.pad(spos, ((0, nb * b - n), (0, 0)), constant_values=_BIG)
+    sg_p = jnp.pad(sg, (0, nb * b - n), constant_values=n)
+    padded = jnp.pad(spos_p, ((w, w), (0, 0)), constant_values=_BIG)
+    padded_g = jnp.pad(sg_p, (w, w), constant_values=n)
+
+    iw = jnp.arange(b)[:, None]
+    cols = jnp.arange(b + 2 * w)[None, :]
+
+    def blk(i):
+        q = jax.lax.dynamic_slice(spos_p, (i * b, 0), (b, 3))
+        qg = jax.lax.dynamic_slice(sg_p, (i * b,), (b,))
+        c = jax.lax.dynamic_slice(padded, (i * b, 0), (b + 2 * w, 3))
+        cg = jax.lax.dynamic_slice(padded_g, (i * b,), (b + 2 * w,))
+        d2 = (
+            jnp.sum(q * q, axis=1)[:, None]
+            + jnp.sum(c * c, axis=1)[None, :]
+            - 2.0 * jnp.matmul(q, c.T, precision=jax.lax.Precision.HIGHEST)
         )
-        cand_ranks = (rank[:, None] + offs[None, :]) % n
-        cands.append(perm[cand_ranks].astype(jnp.int32))
-    return jnp.concatenate(cands, axis=1)
+        bad = d2 >= 1e29  # sentinel pads / masked rows
+        if not include_self:
+            bad |= cols == iw + w  # row j's own column is j + w
+        d2 = jnp.where(bad, _INF, jnp.maximum(d2, 0.0))
+        sel, sd2 = _select_k(d2, k)
+        gidx = cg[sel]  # (b, k) gather from a tiny (b+2w,) vector
+        return qg, gidx, sd2
+
+    qg, gidx, sd2 = jax.lax.map(blk, jnp.arange(nb))
+    return qg.reshape(-1), gidx.reshape(-1, k), sd2.reshape(-1, k)
+
+
+def _merge_dedup(cand, d2, k, chunk=512):
+    """Merge copies' candidates (N, C) -> unique k nearest per row.
+
+    k-pass extraction with *id masking*: each pass takes the row-min distance
+    and masks every slot holding the same candidate id, which performs the
+    cross-copy dedup for free. Chunked via lax.map — ops on (N, small) shapes
+    are pathologically slow on TPU compared to (chunk, small) blocks."""
+    n, c = cand.shape
+    nch = -(-n // chunk)
+    cand_p = jnp.pad(cand, ((0, nch * chunk - n), (0, 0)), constant_values=-1)
+    d2_p = jnp.pad(d2, ((0, nch * chunk - n), (0, 0)), constant_values=_INF)
+
+    def mrg(i):
+        cc = jax.lax.dynamic_slice(cand_p, (i * chunk, 0), (chunk, c))
+        dd = jax.lax.dynamic_slice(d2_p, (i * chunk, 0), (chunk, c))
+        ids, vals = [], []
+        for _ in range(k):
+            am = jnp.argmin(dd, axis=1)
+            mn = jnp.min(dd, axis=1)
+            picked = jnp.take_along_axis(cc, am[:, None], axis=1)  # (chunk, 1)
+            ids.append(picked[:, 0])
+            vals.append(mn)
+            dd = jnp.where(cc == picked, _INF, dd)  # masks ALL duplicates
+        return jnp.stack(ids, axis=1), jnp.stack(vals, axis=1)
+
+    idx, val = jax.lax.map(mrg, jnp.arange(nch))
+    return idx.reshape(-1, k)[:n], val.reshape(-1, k)[:n]
 
 
 def knn_morton(
@@ -125,94 +205,76 @@ def knn_morton(
     k: int,
     mask: Optional[jax.Array] = None,
     include_self: bool = False,
-    window: int = 96,
+    window: int = 64,
+    block: int = 256,
     n_copies: int = 4,
-    chunk_size: int = 4096,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate (measured >=0.99-recall on galaxy profiles) k nearest
-    neighbors in O(N·W).
+    neighbors in O(N·(B+2W)).
 
     Same contract as :func:`nbody_tpu.ops.knn.knn_neighbors`: returns
     ``(idx, valid)`` dense (N, k) neighbor indices + validity.
 
-    :param window: half-width of the sorted-order candidate window per curve.
-        Scale it with k (W=96 measured 0.99 recall at k=10; use ~2.5x more
-        for k=50).
+    :param window: nominal half-window (a block row actually sees W..W+B
+        candidates per side). Defaults measured >=0.996 recall at k=10 on
+        disk/spiral profiles; scale up with k.
+    :param block: rows per blocked-distance step (MXU tile height).
     :param n_copies: how many curve copies to union (<= 4: identity, shifted,
         two rotated — see ``_COPIES``).
-    :param chunk_size: query rows refined per sequential step (memory bound).
     """
     n = pos.shape[0]
     k = min(k, n)
     n_copies = min(n_copies, len(_COPIES))
-    cands = _candidates(pos, mask, window, n_copies)  # (N, C)
-    c = cands.shape[1]
-    # Each unique node appears at most n_copies times among the candidates
-    # (mod-wrap windows), so the top (n_copies * k) by distance contain >= k
-    # unique neighbors.
-    kk = min(n_copies * k, c)
 
-    col_mask = mask.astype(bool) if mask is not None else None
-
-    def refine(rows, row_cands):
-        """rows (chunk,) query ids; row_cands (chunk, C) candidate ids."""
-        cpos = pos[row_cands]  # (chunk, C, 3)
-        d = cpos - pos[rows][:, None, :]
+    if n <= max(2 * window + 1, 2 * block):
+        # Small-N degenerate case: one dense block covers everything.
+        d = pos[None, :, :] - pos[:, None, :]
         d2 = jnp.sum(d * d, axis=-1)
         bad = jnp.zeros(d2.shape, bool)
         if not include_self:
-            bad |= row_cands == rows[:, None]
-        if col_mask is not None:
-            bad |= ~col_mask[row_cands]
+            bad |= jnp.eye(n, dtype=bool)
+        if mask is not None:
+            m = mask.astype(bool)
+            bad |= ~m[None, :]
         d2 = jnp.where(bad, _INF, d2)
+        sel, sd2 = _select_k(d2, k)
+        valid = sd2 < 1e29
+        if mask is not None:
+            valid = valid & mask.astype(bool)[:, None]
+        return jnp.where(valid, sel, 0).astype(jnp.int32), valid
 
-        neg, sel = jax.lax.top_k(-d2, kk)
-        sel_idx = jnp.take_along_axis(row_cands, sel, axis=1)
-        sel_d2 = -neg
-        # dedup: sort the kk survivors by node id, kill adjacent repeats
-        order = jnp.argsort(sel_idx, axis=1)
-        si = jnp.take_along_axis(sel_idx, order, axis=1)
-        sd = jnp.take_along_axis(sel_d2, order, axis=1)
-        dup = jnp.concatenate(
-            [jnp.zeros((si.shape[0], 1), bool), si[:, 1:] == si[:, :-1]],
-            axis=1,
+    gid = jnp.arange(n, dtype=jnp.int32)
+    idx_bufs, d2_bufs = [], []
+    for rot, shift in _COPIES[:n_copies]:
+        qg, gidx, sd2 = _copy_pass(
+            pos, gid, k, block, window, rot, shift, include_self, mask
         )
-        sd = jnp.where(dup, _INF, sd)
-        negf, fsel = jax.lax.top_k(-sd, k)
-        idx = jnp.take_along_axis(si, fsel, axis=1)
-        valid = negf > -_INF
-        return jnp.where(valid, idx, 0).astype(jnp.int32), valid
+        # Scatter back to original row order; pad rows (qg == n) drop. One
+        # whole-row scatter per copy — scattering into a column slice of a
+        # shared wide buffer measured ~470 ms at 20k (vs ~3 ms per-row).
+        idx_bufs.append(
+            jnp.full((n, k), -1, jnp.int32).at[qg].set(gidx, mode="drop")
+        )
+        d2_bufs.append(
+            jnp.full((n, k), _INF, jnp.float32).at[qg].set(sd2, mode="drop")
+        )
 
-    if n <= chunk_size:
-        idx, valid = refine(jnp.arange(n, dtype=jnp.int32), cands)
-    else:
-        n_rows = -(-n // chunk_size) * chunk_size
-        rows_p = jnp.minimum(jnp.arange(n_rows, dtype=jnp.int32), n - 1)
-        cands_p = jnp.concatenate(
-            [cands, jnp.broadcast_to(cands[-1:], (n_rows - n, c))], axis=0
-        )
-        idx, valid = jax.lax.map(
-            lambda t: refine(*t),
-            (
-                rows_p.reshape(-1, chunk_size),
-                cands_p.reshape(-1, chunk_size, c),
-            ),
-        )
-        idx = idx.reshape(n_rows, k)[:n]
-        valid = valid.reshape(n_rows, k)[:n]
-
+    idx, d2 = _merge_dedup(
+        jnp.concatenate(idx_bufs, axis=1), jnp.concatenate(d2_bufs, axis=1), k
+    )
+    valid = d2 < 1e29
     if mask is not None:
         valid = valid & mask.astype(bool)[:, None]
-        idx = jnp.where(valid, idx, 0)
-    return idx, valid
+    idx = jnp.where(valid, idx, 0)
+    return jnp.clip(idx, 0, n - 1).astype(jnp.int32), valid
 
 
 def batched_knn_morton(
-    pos, k, mask=None, include_self=False, window=96, n_copies=4
+    pos, k, mask=None, include_self=False, window=64, block=256, n_copies=4
 ):
     """vmap of :func:`knn_morton` over a leading batch axis."""
     fn = lambda p, m: knn_morton(
-        p, k, mask=m, include_self=include_self, window=window,
+        p, k, mask=m, include_self=include_self, window=window, block=block,
         n_copies=n_copies,
     )
     if mask is None:

@@ -29,7 +29,8 @@ def build_graph(graph_spec, pos, mask=None):
                 kw["k"],
                 mask=mask,
                 include_self=kw.get("include_self", False),
-                window=kw.get("window", 96),
+                window=kw.get("window", 64),
+                block=kw.get("block", 256),
                 n_copies=kw.get("n_copies", 4),
             )
         return batched_knn_neighbors(

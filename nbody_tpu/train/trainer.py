@@ -190,9 +190,86 @@ class Trainer:
             )
             return state, losses, mses
 
+        def train_bucket_multi(state, xs, ys, nvs, sels, valids, rngs):
+            """Reference batch composition (PyG DataLoader over a shuffled
+            file, trainer.py:63-65): each optimizer step sees a *mixed-size*
+            batch. Emulated with static shapes as one sub-batch per body-size
+            bucket and a single node-weighted loss over their union:
+
+                loss = scale * sqrt( sum_b SSE_b / sum_b 3*n_valid_b )
+
+            which equals the reference's per-batch RMSE over all nodes of a
+            mixed 64-graph batch. Gradients therefore match the reference's
+            batch composition exactly for BatchNorm-free models (the GNN);
+            one lax.scan per (file, epoch) over all steps.
+
+            xs/ys/nvs: per-bucket device arrays; sels/valids: per-bucket
+            (steps, quota) index/validity; rngs: (steps,) dropout keys."""
+
+            def body(carry, inp):
+                bsels, bvalids, rng = inp
+
+                def loss_fn(params):
+                    v = {"params": params}
+                    if self._has_bn:
+                        v["batch_stats"] = carry.batch_stats
+                    sse = 0.0
+                    cnt = 0.0
+                    mut = {}
+                    for x_full, y_full, nv_full, sel, bv in zip(
+                        xs, ys, nvs, bsels, bvalids
+                    ):
+                        x = x_full[sel]
+                        y = y_full[sel]
+                        nv = nv_full[sel]
+                        m = (
+                            jnp.arange(x_full.shape[1])[None, :] < nv[:, None]
+                        ) & bv[:, None]
+                        idx, valid = build_graph(spec, x[..., :3], m)
+                        if self._has_bn:
+                            pred, mut = model.apply(
+                                v, x, idx, valid, train=True, node_mask=m,
+                                rngs={"dropout": rng},
+                                mutable=["batch_stats"],
+                            )
+                        else:
+                            pred = model.apply(
+                                v, x, idx, valid, train=True, node_mask=m,
+                                rngs={"dropout": rng},
+                            )
+                        w = m.astype(pred.dtype)[..., None]
+                        sse = sse + jnp.sum((pred - y) ** 2 * w)
+                        cnt = cnt + jnp.sum(w) * pred.shape[-1]
+                    mse = sse / jnp.maximum(cnt, 1.0)
+                    loss = jnp.asarray(scale, mse.dtype) * jnp.sqrt(mse)
+                    return loss, (mse, mut)
+
+                (loss, (mse, mut)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(carry.params)
+                updates, opt_state = tx.update(
+                    grads, carry.opt_state, carry.params
+                )
+                params = optax.apply_updates(carry.params, updates)
+                new_bs = mut.get("batch_stats", carry.batch_stats)
+                return (
+                    carry.replace(
+                        params=params, opt_state=opt_state, batch_stats=new_bs
+                    ),
+                    (loss, mse),
+                )
+
+            state, (losses, mses) = jax.lax.scan(
+                body, state, (sels, valids, rngs)
+            )
+            return state, losses, mses
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._train_step_gather = jax.jit(train_step_gather, donate_argnums=(0,))
         self._train_bucket = jax.jit(train_bucket, donate_argnums=(0,))
+        self._train_bucket_multi = jax.jit(
+            train_bucket_multi, donate_argnums=(0,)
+        )
         self._eval_step = jax.jit(eval_step)
         self._eval_step_repeated = jax.jit(
             eval_step_repeated, static_argnames=("reps",)
@@ -325,6 +402,43 @@ class Trainer:
             }
         return self._dev_cache[key]
 
+    def _train_group_reference(self, group, batch_size):
+        """One epoch over a file group in ``batch_mode="reference"``: every
+        optimizer step takes a proportional quota of snapshots from each
+        body-size bucket (each snapshot exactly once per epoch, like a
+        shuffled DataLoader) and minimizes the node-weighted union loss.
+        Runs as one lax.scan dispatch over all steps."""
+        dev = self._device_buckets_merged(group)
+        ns = sorted(dev.keys())
+        xs = tuple(dev[n][0] for n in ns)
+        ys = tuple(dev[n][1] for n in ns)
+        nvs = tuple(dev[n][2] for n in ns)
+        sizes = [x.shape[0] for x in xs]
+        total = sum(sizes)
+        steps = -(-total // batch_size)
+
+        import zlib
+
+        digest = zlib.crc32("|".join(group).encode())
+        rng_np = np.random.default_rng(self.epoch * 7919 + digest % 1000)
+        sels, valids = [], []
+        for s in sizes:
+            q = -(-s // steps)
+            sel = np.zeros((steps, q), np.int32)
+            val = np.zeros((steps, q), bool)
+            order = rng_np.permutation(s)
+            sel[np.arange(s) % steps, np.arange(s) // steps] = order
+            val[np.arange(s) % steps, np.arange(s) // steps] = True
+            sels.append(jnp.asarray(sel))
+            valids.append(jnp.asarray(val))
+
+        self.rng, sub = jax.random.split(self.rng)
+        keys = jax.random.split(sub, steps)
+        self.state, losses, mses = self._train_bucket_multi(
+            self.state, xs, ys, nvs, tuple(sels), tuple(valids), keys
+        )
+        return [losses], [mses]
+
     # -------------------------------------------------------------- training
     def train_from_dir(
         self,
@@ -337,6 +451,7 @@ class Trainer:
         on_epoch_end=None,
         merge_files: bool = False,
         mixed_batches: bool = False,
+        batch_mode: Optional[str] = None,
     ) -> Tuple[List[float], List[float]]:
         """Reference ``train_from_dir`` (trainer.py:20-92). Returns
         (epoch_losses, epoch_mse_losses) — means over all batches.
@@ -349,12 +464,21 @@ class Trainer:
             at a time (trainer.py:63-65), which makes batches highly
             correlated (consecutive steps of one galaxy); merging improves
             gradient diversity. Off by default for reference parity.
-        :param mixed_batches: draw each batch from ALL of a file's snapshots
-            regardless of body count (padded to the shared max N with exact
-            node masks) — the reference's PyG DataLoader semantics, where a
-            batch of 64 graphs mixes 3..500-body scenes. The default bucketed
-            mode keeps batches single-size (cheaper: no padding compute) but
-            changes the gradient composition relative to the reference."""
+        :param mixed_batches: legacy alias for ``batch_mode="mixed"``.
+        :param batch_mode: how batches are composed —
+            * ``"bucketed"`` (default): single-size batches per body-count
+              bucket. Cheapest (no padding compute) but a different gradient
+              composition than the reference.
+            * ``"mixed"``: every batch drawn from ALL of a file's snapshots,
+              padded to the shared max N with exact node masks — literal PyG
+              DataLoader semantics (a 64-graph batch mixes 3..500-body
+              scenes) at the cost of padded compute.
+            * ``"reference"``: mixed-batch *gradient semantics* at bucketed
+              cost — each optimizer step takes a proportional quota from
+              every bucket and minimizes one node-weighted loss over their
+              union, which equals the mixed-batch RMSE exactly (for
+              BatchNorm-free models; with BatchNorm the batch statistics are
+              per-size rather than per-union)."""
         csv_files = sorted(glob(os.path.join(data_path, "*.csv")))
         if not csv_files:
             raise FileNotFoundError(f"no CSVs under {data_path}")
@@ -370,12 +494,22 @@ class Trainer:
         epoch_losses: List[float] = []
         epoch_mse_losses: List[float] = []
         file_groups = [csv_files] if merge_files else [[f] for f in csv_files]
+        mode = batch_mode or ("mixed" if mixed_batches else "bucketed")
+        if mode not in ("bucketed", "mixed", "reference"):
+            raise ValueError(f"unknown batch_mode {mode!r}")
         for e in range(epochs):
             losses, mses = [], []
             for group in file_groups:
+                if mode == "reference":
+                    losses_g, mses_g = self._train_group_reference(
+                        group, batch_size
+                    )
+                    losses.extend(losses_g)
+                    mses.extend(mses_g)
+                    continue
                 dev = (
                     self._device_buckets_mixed(group)
-                    if mixed_batches
+                    if mode == "mixed"
                     else self._device_buckets_merged(group)
                 )
                 import zlib

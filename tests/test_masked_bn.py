@@ -130,7 +130,7 @@ def test_dense_torch_bias_init():
     assert np.all(np.abs(k) <= bound + 1e-7)
 
 
-@pytest.mark.parametrize("mixed", [False, True])
+@pytest.mark.parametrize("mixed", ["bucketed", "mixed", "reference"])
 def test_trainer_exact_tail_and_mixed_batches(tmp_path, mixed):
     """Train 2 epochs on a tiny two-size dataset with a batch size that forces
     a partial tail batch; loss must be finite and decrease-ish, and mixed mode
@@ -152,7 +152,57 @@ def test_trainer_exact_tail_and_mixed_batches(tmp_path, mixed):
     # 10 snapshots per size; batch 4 -> tail batch of 2 (exact, masked)
     losses, mses = trainer.train_from_dir(
         str(out), epochs=2, batch_size=4, verbose=False,
-        mixed_batches=mixed,
+        batch_mode=mixed,
     )
     assert len(losses) == 2 and all(np.isfinite(losses))
     assert all(np.isfinite(mses))
+
+
+def test_reference_mode_loss_matches_mixed_batch_oracle(tmp_path):
+    """One 'reference'-mode step's loss == the mixed-batch RMSE over the
+    union of its sub-batches, computed by an explicit oracle."""
+    import jax.numpy as jnp
+    from nbody_tpu.models import GraphModel
+    from nbody_tpu.models.common import scaled_rmse_and_mse
+    from nbody_tpu.train.graphs import build_graph
+    from nbody_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(5)
+    model = GraphModel(input_dim=4, gnn_dim=8, message_passing_steps=1,
+                       aggr="mean", neighbors=3, scale_factor=1e6)
+    trainer = Trainer(model, learning_rate=0.0, dt=1e-4)  # lr=0: no update
+
+    xs, ys, nvs = [], [], []
+    for n in (5, 9):
+        x = rng.normal(size=(4, n, 7)).astype(np.float32)
+        y = (rng.normal(size=(4, n, 3)) * 1e-6).astype(np.float32)
+        xs.append(jnp.asarray(x))
+        ys.append(jnp.asarray(y))
+        nvs.append(jnp.full((4,), n, jnp.int32))
+
+    class _B:  # minimal batch for state init
+        pass
+
+    b = _B()
+    b.x = np.asarray(xs[0])
+    b.node_mask = np.ones((4, 5), bool)
+    trainer._ensure_state(b)
+
+    sels = tuple(jnp.asarray([[0, 1]], np.int32) for _ in xs)
+    valids = tuple(jnp.asarray([[True, True]]) for _ in xs)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    new_state, losses, mses = trainer._train_bucket_multi(
+        trainer.state, tuple(xs), tuple(ys), tuple(nvs), sels, valids, keys
+    )
+
+    # oracle: masked scaled RMSE over the union of all nodes of both buckets
+    # (lr=0 so new_state.params == the params the loss was computed with)
+    sse = cnt = 0.0
+    for x, y in zip(xs, ys):
+        xb, yb = x[:2], y[:2]
+        idx, valid = build_graph(model.graph_spec, xb[..., :3])
+        pred = model.apply({"params": new_state.params}, xb, idx, valid)
+        sse += float(jnp.sum((pred - yb) ** 2))
+        cnt += pred.size
+    want = 1e6 * np.sqrt(sse / cnt)
+    np.testing.assert_allclose(float(losses[0]), want, rtol=1e-5)

@@ -1,0 +1,75 @@
+"""Particle-sharded surrogate (``parallel/surrogate.py``) vs the
+single-device forward — exact equality on the virtual 8-CPU mesh (VERDICT
+round 1, item 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.models import GraphModel
+from nbody_tpu.parallel.surrogate import sharded_predict, sharded_rollout
+from nbody_tpu.train.graphs import build_graph
+from nbody_tpu.train.rollout import autoregressive_rollout, predict_accelerations
+
+
+def _setup(model, n, seed=0):
+    key = jax.random.PRNGKey(seed)
+    kp, kv, km, ki = jax.random.split(key, 4)
+    pos = jax.random.normal(kp, (n, 3))
+    vel = jax.random.normal(kv, (n, 3)) * 0.1
+    mass = jax.random.uniform(km, (n,), minval=0.5, maxval=1.5)
+    x = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
+    idx, valid = build_graph(model.graph_spec, x[..., :3])
+    variables = model.init(ki, x, idx, valid)
+    return pos, vel, mass, variables
+
+
+@pytest.mark.parametrize("encoder,aggr", [
+    (None, "mean"),
+    ((16,), "sum"),
+])
+def test_sharded_predict_matches_single_device(mesh8, encoder, aggr):
+    model = GraphModel(
+        input_dim=4, gnn_dim=16, message_passing_steps=2, aggr=aggr,
+        node_encoder_dims=encoder, neighbors=5, scale_factor=1e6,
+    )
+    n = 64  # 8 per device
+    pos, vel, mass, variables = _setup(model, n)
+
+    want = predict_accelerations(model, variables, pos, vel, mass)
+    got = sharded_predict(model, variables, pos, vel, mass, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-7
+    )
+
+
+def test_sharded_rollout_matches_single_device(mesh8):
+    model = GraphModel(
+        input_dim=4, gnn_dim=8, message_passing_steps=2, aggr="mean",
+        neighbors=4, scale_factor=1e6,
+    )
+    n, steps, dt = 40, 5, 1e-3
+    pos, vel, mass, variables = _setup(model, n, seed=1)
+
+    want = autoregressive_rollout(
+        model, variables, pos, vel, mass, steps, dt
+    )
+    got = sharded_rollout(model, variables, pos, vel, mass, steps, dt, mesh8)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-5, atol=1e-7
+        )
+
+
+def test_sharded_predict_with_output_hiddens(mesh8):
+    model = GraphModel(
+        input_dim=7, gnn_dim=8, message_passing_steps=1, aggr="mean",
+        output_hiddens=(12,), neighbors=3, scale_factor=1e6,
+    )
+    pos, vel, mass, variables = _setup(model, 32, seed=2)
+    want = predict_accelerations(model, variables, pos, vel, mass)
+    got = sharded_predict(model, variables, pos, vel, mass, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-7
+    )

@@ -76,25 +76,38 @@ def test_knn_morton_recall_on_galaxy_profiles(maker):
     assert r >= 0.99, f"recall {r:.4f} < 0.99"
 
 
-def test_knn_morton_chunked_matches_unchunked():
-    pos = jax.random.normal(jax.random.PRNGKey(2), (700, 3))
-    idx_a, valid_a = knn_morton(pos, 6, chunk_size=128)
-    idx_b, valid_b = knn_morton(pos, 6, chunk_size=4096)
-    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
-    np.testing.assert_array_equal(np.asarray(valid_a), np.asarray(valid_b))
+def test_knn_morton_block_size_recall():
+    """Both block sizes must recover (nearly) the exact graph on the blocked
+    path (block shapes change the effective window, not correctness)."""
+    pos = jax.random.normal(jax.random.PRNGKey(2), (1500, 3))
+    idx_e, valid_e = knn_neighbors(pos, 6)
+    for block in (128, 256):
+        idx_m, valid_m = knn_morton(pos, 6, window=32, block=block)
+        assert _recall(idx_m, valid_m, idx_e, valid_e) >= 0.98
 
 
 def test_knn_morton_mask_and_self():
     """Masked-out rows are never selected and have no neighbors; include_self
-    puts each node first in its own list (d=0)."""
+    puts each node first in its own list (d=0) — on the dense small-N path
+    AND the blocked path."""
+    # dense small-N path
     pos = jax.random.normal(jax.random.PRNGKey(3), (50, 3))
     mask = jnp.arange(50) < 40
-    idx, valid = knn_morton(pos, 4, mask=mask, window=10)
+    idx, valid = knn_morton(pos, 4, mask=mask)
     assert not np.any(np.asarray(idx[np.asarray(valid)]) >= 40)
     assert not np.asarray(valid[40:]).any()
-
-    idx_s, valid_s = knn_morton(pos, 4, include_self=True, window=10)
+    idx_s, valid_s = knn_morton(pos, 4, include_self=True)
     np.testing.assert_array_equal(np.asarray(idx_s[:, 0]), np.arange(50))
+
+    # blocked path (n > max(2W+1, 2B))
+    pos = jax.random.normal(jax.random.PRNGKey(7), (900, 3))
+    mask = jnp.arange(900) < 800
+    idx, valid = knn_morton(pos, 4, mask=mask, window=16, block=128)
+    assert not np.any(np.asarray(idx[np.asarray(valid)]) >= 800)
+    assert not np.asarray(valid[800:]).any()
+    idx_s, valid_s = knn_morton(pos, 4, include_self=True, window=16, block=128)
+    np.testing.assert_array_equal(np.asarray(idx_s[:, 0]), np.arange(900))
+    assert np.asarray(valid_s).all()
 
 
 def test_knn_morton_no_duplicate_neighbors():
