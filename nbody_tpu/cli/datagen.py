@@ -44,6 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "dense", "pallas"])
     p.add_argument("--no-npz", action="store_true",
                    help="skip the fast-reload .npz twin")
+    p.add_argument("--time-chunks", type=int, default=1,
+                   help=">1: record per-chunk honest wall times in the "
+                        "step_time column instead of the uniform rollout "
+                        "mean (see data.generate.run_scenario)")
+    p.add_argument("--check", action="store_true",
+                   help="checkify NaN/Inf guard on every trajectory "
+                        "(SURVEY.md §5.2)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the generation "
+                        "into DIR (SURVEY.md §5.1)")
     return p
 
 
@@ -68,7 +78,18 @@ def main(argv=None):
         force_backend=args.force_backend,
     )
     print(f"Generating {len(scenarios)} scenarios -> {args.output}")
-    generate_dataset(scenarios, args.output, write_npz=not args.no_npz)
+    run = lambda: generate_dataset(
+        scenarios, args.output, write_npz=not args.no_npz,
+        time_chunks=args.time_chunks, check=args.check,
+    )
+    if args.profile:
+        from nbody_tpu.utils.profiling import trace_profile
+
+        with trace_profile(args.profile):
+            run()
+        print(f"profiler trace written to {args.profile}")
+    else:
+        run()
     print("done")
 
 

@@ -61,6 +61,10 @@ class TrainConfig:
     scheduler_factor: float = 0.1
     scheduler_patience: int = 10
     seed: int = 0
+    merge_files: bool = False  # pool every file's snapshots (adopted
+    # contconv recipe, run_experiments.sh)
+    batch_mode: str = "bucketed"  # "bucketed" | "mixed" | "reference"
+    # (Trainer.train_from_dir batch composition)
 
 
 @dataclasses.dataclass

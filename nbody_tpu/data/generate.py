@@ -94,11 +94,20 @@ def make_initial_conditions(cfg: ScenarioConfig, key=None):
     raise ValueError(f"unknown sim_type {cfg.sim_type!r}")
 
 
-def run_scenario(cfg: ScenarioConfig, key=None):
-    """ICs + full on-device rollout. Returns (trajectory, masses, mean
-    step-time seconds). The per-step wall time the reference logs
-    (simulation.py:127-129) has no meaning inside a fused scan, so the
-    uniform mean step time is recorded for every step."""
+def run_scenario(cfg: ScenarioConfig, key=None, time_chunks: int = 1):
+    """ICs + full on-device rollout. Returns (trajectory, masses,
+    step_time) where step_time is in seconds — a scalar (uniform mean) by
+    default, or a per-step array when ``time_chunks > 1``.
+
+    Per-step timing semantics (divergence from ``simulation.py:127-129``):
+    the reference times every step individually because its loop is already
+    synchronous on the host; inside a fused ``lax.scan`` a per-step wall time
+    does not exist. With ``time_chunks=1`` every step gets the uniform mean
+    (fastest: one dispatch). With ``time_chunks=C`` the rollout runs as C
+    sequentially-timed scan segments and each step gets its own chunk's
+    honest wall-time mean — per-step granularity at the cost of C dispatches
+    (and C host syncs). Consumers of the CSV ``step_time`` column should
+    treat it as amortised device time either way."""
     pos, vel, mass = make_initial_conditions(cfg, key)
     sim_cfg = SimulationConfig(
         g_const=cfg.g,
@@ -110,11 +119,38 @@ def run_scenario(cfg: ScenarioConfig, key=None):
     )
     from nbody_tpu.utils.timing import device_time
 
-    traj, elapsed = device_time(
-        lambda: simulate(pos, vel, mass, cfg.steps, sim_cfg)
+    if time_chunks <= 1:
+        traj, elapsed = device_time(
+            lambda: simulate(pos, vel, mass, cfg.steps, sim_cfg)
+        )
+        return traj, np.asarray(mass), elapsed / cfg.steps
+
+    bounds = np.linspace(0, cfg.steps, time_chunks + 1).astype(int)
+    # pre-compile every distinct chunk length so the first timed chunk isn't
+    # charged for compilation (the reference's step 0 pays no such cost)
+    from nbody_tpu.utils.timing import fetch_scalar
+
+    for n_steps in {int(h - l) for l, h in zip(bounds[:-1], bounds[1:]) if h > l}:
+        fetch_scalar(simulate(pos, vel, mass, n_steps, sim_cfg).positions)
+    parts, times = [], np.zeros(cfg.steps)
+    p, v = pos, vel
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi == lo:
+            continue
+        part, elapsed = device_time(
+            lambda p=p, v=v, n=int(hi - lo): simulate(p, v, mass, n, sim_cfg)
+        )
+        parts.append(part)
+        times[lo:hi] = elapsed / (hi - lo)
+        p, v = part.positions[-1], part.velocities[-1]
+    traj = Trajectory(
+        *(
+            None if parts[0][i] is None
+            else jnp.concatenate([pt[i] for pt in parts], axis=0)
+            for i in range(5)
+        )
     )
-    step_time = elapsed / cfg.steps
-    return traj, np.asarray(mass), step_time
+    return traj, np.asarray(mass), times
 
 
 def trajectory_to_rows(
@@ -129,11 +165,16 @@ def trajectory_to_rows(
     a = np.asarray(traj.accelerations).reshape(s * n, 3)
     u = np.repeat(np.asarray(traj.u_energy), n)
     k = np.repeat(np.asarray(traj.k_energy), n)
+    st = (
+        np.repeat(np.asarray(step_time, np.float64), n)
+        if np.ndim(step_time)
+        else np.full(s * n, step_time, np.float64)
+    )
     return {
         "scene": np.full(s * n, scene_id, np.int64),
         "scene_type": np.full(s * n, cfg.sim_type, object),
         "step": np.repeat(np.arange(s), n),
-        "step_time": np.full(s * n, step_time, np.float64),
+        "step_time": st,
         "mass": np.tile(mass, s),
         "x": p[:, 0], "y": p[:, 1], "z": p[:, 2],
         "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
@@ -204,14 +245,25 @@ def generate_dataset(
     write_npz: bool = True,
     verbose: bool = True,
     vmap_scenes: bool = True,
+    time_chunks: int = 1,
+    check: bool = False,
 ) -> None:
     """Run every scenario and write one long-format CSV (s01:106-243), plus an
     ``.npz`` twin (same stem) for fast reload by ``data.dataset``.
 
     :param vmap_scenes: batch groups of seed-only-differing scenarios into
         one vmapped device computation (big win for sweeps like 100 rollouts
-        of the same configuration)."""
+        of the same configuration).
+    :param time_chunks: >1 records per-chunk honest wall times into the
+        ``step_time`` column instead of the uniform mean (see
+        :func:`run_scenario`); disables scene vmapping (chunked timing needs
+        sequential dispatches).
+    :param check: checkify NaN/Inf guard on every produced trajectory
+        (SURVEY.md §5.2) — raises instead of writing corrupt data."""
     import pandas as pd
+
+    if time_chunks > 1:
+        vmap_scenes = False
 
     results = {}
     if vmap_scenes:
@@ -240,7 +292,14 @@ def generate_dataset(
                     f"[{scene_id + 1}/{len(scenarios)}] {cfg.sim_type} n={cfg.n_bodies} "
                     f"steps={cfg.steps} integrator={cfg.integrator} seed={cfg.seed}"
                 )
-            traj, mass, step_time = run_scenario(cfg)
+            traj, mass, step_time = run_scenario(cfg, time_chunks=time_chunks)
+        if check:
+            from nbody_tpu.utils.debug import throw_if_nonfinite
+
+            throw_if_nonfinite(
+                (traj.positions, traj.velocities, traj.accelerations),
+                what=f"scene {scene_id} trajectory",
+            )
         frames.append(
             pd.DataFrame(trajectory_to_rows(scene_id, cfg, traj, mass, step_time))
         )
@@ -251,8 +310,11 @@ def generate_dataset(
         npz_payload[f"scene{scene_id}_u"] = np.asarray(traj.u_energy)
         npz_payload[f"scene{scene_id}_k"] = np.asarray(traj.k_energy)
         npz_payload[f"scene{scene_id}_meta"] = np.array(
-            [scene_id, cfg.steps, cfg.n_bodies, step_time], np.float64
+            [scene_id, cfg.steps, cfg.n_bodies, float(np.mean(step_time))],
+            np.float64,
         )
+        if np.ndim(step_time):
+            npz_payload[f"scene{scene_id}_step_time"] = np.asarray(step_time)
         npz_payload[f"scene{scene_id}_type"] = np.array(cfg.sim_type)
 
     df = pd.concat(frames, ignore_index=True)[CSV_FIELDS]

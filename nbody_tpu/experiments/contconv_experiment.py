@@ -34,6 +34,12 @@ def main(argv=None):
                         "union BatchNorm statistics")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--train-seed", type=int, default=0)
+    p.add_argument("--check", action="store_true",
+                   help="checkify NaN/Inf guard on trained parameters and "
+                        "eval outputs (SURVEY.md §5.2)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the evaluation "
+                        "into DIR (SURVEY.md §5.1)")
     p.add_argument("--reference-init", action="store_true",
                    help="torch-style init for the decoder head (the default "
                         "zero-init avoids the saturation collapse)")

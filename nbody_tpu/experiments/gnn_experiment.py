@@ -37,6 +37,12 @@ def main(argv=None):
                         "batches of the reference recipe")
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--train-seed", type=int, default=0)
+    p.add_argument("--check", action="store_true",
+                   help="checkify NaN/Inf guard on trained parameters and "
+                        "eval outputs (SURVEY.md §5.2)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the evaluation "
+                        "into DIR (SURVEY.md §5.1)")
     p.add_argument("--zero-init", action="store_true",
                    help="zero-init the decoder head (see models/mlp.py)")
     args = p.parse_args(argv)
@@ -91,14 +97,33 @@ def main(argv=None):
         batch_mode=args.batch_mode,
     )
     print("Training completed, evaluating model.")
+    if args.check:
+        from nbody_tpu.utils.debug import throw_if_nonfinite
 
-    df_stepwise, df_rollout = trainer.test_from_dir(
-        data_path=paths["test"],
-        model_path=paths["weights"],
-        sim_steps=args.sim_steps,
-        stepwise=True,
-        rollout=True,
-    )
+        throw_if_nonfinite(trainer.state.params, what="trained parameters")
+
+    def _evaluate():
+        return trainer.test_from_dir(
+            data_path=paths["test"],
+            model_path=paths["weights"],
+            sim_steps=args.sim_steps,
+            stepwise=True,
+            rollout=True,
+        )
+
+    if args.profile:
+        from nbody_tpu.utils.profiling import trace_profile
+
+        with trace_profile(args.profile):
+            df_stepwise, df_rollout = _evaluate()
+        print(f"profiler trace written to {args.profile}")
+    else:
+        df_stepwise, df_rollout = _evaluate()
+    if args.check:
+        import numpy as _np
+
+        assert _np.isfinite(df_rollout.to_numpy(dtype=float)).all(), \
+            "non-finite rollout metrics"
     print("Evaluation completed.")
     df_stepwise.to_csv(
         os.path.join(paths["results"], "test_results_stepwise.csv"), index=True

@@ -1,0 +1,111 @@
+"""Ring x Pallas on real TPU hardware — execution evidence + tile tuning for
+the ring's Pallas block backend (VERDICT round 1, item 6: the
+``pallas_interpret`` CPU-mesh tests exercise the diag_delta logic, but the
+compiled kernel had never been run or timed on the actual chip).
+
+A 1-device mesh is a valid exercise of the block kernel: the ring degenerates
+to a single hop whose block IS the full (N, N) interaction with
+``diag_delta=0``, i.e. the same rectangular-block code path (and tile grid)
+the multi-chip ring runs per hop.
+
+Usage (real TPU):
+    python -m nbody_tpu.experiments.ring_tpu --n-bodies 10240 --steps 50 \
+        --out results/large_scale/ring_tpu.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.ics import generate_disk
+from nbody_tpu.ops.pairwise import pallas_partial_accelerations
+from nbody_tpu.parallel.mesh import make_mesh
+from nbody_tpu.parallel.ring import ring_simulate
+from nbody_tpu.utils.timing import device_time, fetch_scalar
+
+G, EPS, DT = 4.5e-6, 0.05, 1e-4
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-bodies", type=int, default=10_240)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    n, steps = args.n_bodies, args.steps
+
+    pos, vel, mass = generate_disk(jax.random.PRNGKey(0), n)
+    fetch_scalar(pos)
+    out = {"device": jax.devices()[0].platform, "n_bodies": n, "steps": steps}
+
+    # --- tile sweep on the rectangular block kernel (one ring hop) --------
+    tiles = [(128, 256), (256, 256), (256, 512), (256, 1024), (512, 512),
+             (128, 1024)]
+    sweep = []
+    for ti, tj in tiles:
+        fn = jax.jit(
+            lambda p, m, ti=ti, tj=tj: pallas_partial_accelerations(
+                p, p, m, G, EPS, diag_delta=0, tile_i=ti, tile_j=tj
+            )
+        )
+        r = fn(pos, mass)
+        fetch_scalar(r)  # compile + drain
+
+        @jax.jit
+        def chained(p, m, fn=fn):
+            def body(c, _):
+                # feed the result back so no iteration can be DCE'd
+                return c + 1e-30 * fn(c, m), None
+            c, _ = jax.lax.scan(body, p, None, length=10)
+            return c
+
+        fetch_scalar(chained(pos, mass))
+        _, el = device_time(lambda: chained(pos, mass))
+        sweep.append({"tile": [ti, tj], "ms_per_eval": el / 10 * 1e3,
+                      "pairs_per_s": n * n / (el / 10)})
+        print(json.dumps(sweep[-1]))
+    out["tile_sweep"] = sweep
+    best = min(sweep, key=lambda r: r["ms_per_eval"])
+    out["best_tile"] = best["tile"]
+
+    # --- ring_simulate(backend="pallas") on a 1-device TPU mesh ----------
+    mesh = make_mesh(1)
+    for backend in ("dense", "pallas"):
+        run = lambda b=backend: ring_simulate(
+            pos, vel, mass, steps=steps, g_const=G, softening=EPS, dt=DT,
+            mesh=mesh, backend=b,
+        )
+        (pf, vf, af), _ = run()
+        fetch_scalar(pf)
+        (pf, vf, af), el = device_time(run)
+        out[f"ring_{backend}"] = {
+            "seconds": el,
+            "psteps_per_s": n * steps / el,
+            "finite": bool(jnp.isfinite(pf).all()),
+        }
+        print(json.dumps({backend: out[f"ring_{backend}"]}))
+        if backend == "dense":
+            ref_final = np.asarray(pf)
+        else:
+            rel = float(
+                np.linalg.norm(np.asarray(pf) - ref_final)
+                / np.linalg.norm(ref_final)
+            )
+            out["pallas_vs_dense_final_pos_rel_err"] = rel
+            print(json.dumps({"pallas_vs_dense_rel_err": rel}))
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

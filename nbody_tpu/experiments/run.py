@@ -64,6 +64,8 @@ def run(cfg: ExperimentConfig) -> None:
         on_epoch_end=lambda e, losses, mses: pd.DataFrame(
             losses, columns=["loss"]
         ).to_csv(loss_csv, index=False),
+        merge_files=cfg.train.merge_files,
+        batch_mode=cfg.train.batch_mode,
     )
 
     df_stepwise, df_rollout = trainer.test_from_dir(

@@ -33,16 +33,20 @@ def _load(base, name, fname):
 
 
 def _scene_n_bodies(base):
-    """n_bodies and classical step_time per test scene, from the test CSVs
-    (notebook cell 3 reads the ground-truth step_time the same way)."""
+    """n_bodies and classical step_time per (test file, scene), from the test
+    CSVs (notebook cell 3 reads the ground-truth step_time the same way).
+
+    Keyed by (filename, scene) — scene ids restart at 0 in every file, so a
+    scene-only key would silently overwrite across multi-file test dirs."""
     out = {}
     for f in sorted(glob(os.path.join(base, "data", "test", "*.csv"))):
+        fname = os.path.basename(f)
         df = pd.read_csv(f, usecols=["scene", "step", "step_time"])
         head = df[df["step"] == 0]
         sizes = head.groupby("scene").size()
         times = df.groupby("scene")["step_time"].mean()
         for scene, n in sizes.items():
-            out[int(scene)] = (int(n), float(times.loc[scene]))
+            out[(fname, int(scene))] = (int(n), float(times.loc[scene]))
     return out
 
 
@@ -65,35 +69,44 @@ def plot_loss(base, names, outdir):
 
 def plot_stepwise(base, names, outdir):
     scene_info = _scene_n_bodies(base)
+    # x-axis = the (filename, scene) rows of the first available stepwise
+    # table, so multi-file test dirs label every bar correctly.
+    keys = None
+    for name in names:
+        df = _load(base, name, "test_results_stepwise.csv")
+        if df is not None:
+            keys = list(zip(df["filename"], df["scene"].astype(int)))
+            break
+    if keys is None:
+        return
     width = 0.35
     for metric, fname, ylabel, with_gt in [
         ("loss", "stepwise_loss.png", "1-step acc RMSE", False),
         ("step_time", "stepwise_time.png", "step time (s)", True),
     ]:
         fig, ax = plt.subplots(figsize=(7, 4.5))
+        xs = np.arange(len(keys))
         for i, name in enumerate(names):
             df = _load(base, name, "test_results_stepwise.csv")
             if df is None:
                 continue
-            scenes = df["scene"].to_numpy()
-            xs = np.arange(len(scenes))
-            ax.bar(xs + i * width, df[metric], width, label=name)
+            rows = df.set_index(["filename", "scene"])[metric]
+            vals = [rows.get(k, np.nan) for k in keys]
+            ax.bar(xs + i * width, vals, width, label=name)
         n_series = len(names)
         if with_gt and scene_info:
-            xs = np.arange(len(scene_info))
             ax.bar(
                 xs + len(names) * width,
-                [scene_info[s][1] for s in sorted(scene_info)],
+                [scene_info.get(k, (0, np.nan))[1] for k in keys],
                 width,
                 label="leapfrog (ground truth)",
                 color="green",
             )
             n_series += 1
-        if scene_info:
-            ax.set_xticks(
-                np.arange(len(scene_info)) + width * (n_series - 1) / 2
-            )
-            ax.set_xticklabels([scene_info[s][0] for s in sorted(scene_info)])
+        ax.set_xticks(xs + width * (n_series - 1) / 2)
+        ax.set_xticklabels(
+            [scene_info.get(k, ("?",))[0] for k in keys]
+        )
         ax.set_xlabel("n_bodies")
         ax.set_ylabel(ylabel)
         ax.set_yscale("log")
@@ -110,23 +123,26 @@ def plot_rollout(base, names, outdir):
     if not dfs:
         return
     any_df = next(iter(dfs.values()))
-    scenes = sorted(any_df["scene"].unique())
+    scenes = sorted(
+        set(zip(any_df["filename"], any_df["scene"].astype(int)))
+    )
     scene_info = _scene_n_bodies(base)
     cols = ["pos_rmse", "vel_rmse", "acc_rmse"]
     fig, axes = plt.subplots(
         len(scenes), 3, figsize=(12, 2.2 * len(scenes)), squeeze=False
     )
-    for r, scene in enumerate(scenes):
+    for r, key in enumerate(scenes):
+        fname, scene = key
         for c, col in enumerate(cols):
             ax = axes[r][c]
             for name, df in dfs.items():
-                sub = df[df["scene"] == scene]
+                sub = df[(df["filename"] == fname) & (df["scene"] == scene)]
                 ax.plot(sub["step"], sub[col], label=name, lw=0.8)
             ax.set_yscale("log")
             if r == 0:
                 ax.set_title(col)
             if c == 0:
-                n = scene_info.get(scene, ("?",))[0]
+                n = scene_info.get(key, ("?",))[0]
                 ax.set_ylabel(f"scene {scene}\n(n={n})")
             if r == len(scenes) - 1:
                 ax.set_xlabel("rollout step")

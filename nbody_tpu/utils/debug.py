@@ -28,6 +28,25 @@ def checked_accelerations(acc_fn):
     return wrapped
 
 
+def throw_if_nonfinite(tree, what: str = "state") -> None:
+    """checkify-based NaN/Inf guard over a whole pytree: raises
+    ``checkify.JaxRuntimeError`` when any leaf carries a non-finite value.
+    This is what the ``--check`` CLI flags run on produced trajectories /
+    trained parameters (SURVEY.md §5.2)."""
+
+    def inner(t):
+        leaves = [l for l in jax.tree_util.tree_leaves(t) if l is not None]
+        ok = jnp.array(True)
+        for leaf in leaves:
+            if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+                ok = ok & jnp.isfinite(leaf).all()
+        checkify.check(ok, f"non-finite values detected in {what}")
+        return 0
+
+    err, _ = jax.jit(checkify.checkify(inner))(tree)
+    err.throw()
+
+
 def assert_finite_state(pos, vel, acc=None) -> None:
     """Host-side guard: raise if any state array went non-finite."""
     for name, arr in (("pos", pos), ("vel", vel), ("acc", acc)):

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 import pandas as pd
 
@@ -58,3 +60,35 @@ def test_config_driven_runner(tmp_path):
         assert (res / f).exists(), f
     losses = pd.read_csv(res / "epoch_loss.csv")
     assert len(losses) == 2 and np.isfinite(losses["loss"]).all()
+
+
+def test_datagen_time_chunks_and_check(tmp_path):
+    """--time-chunks records per-chunk honest wall times (per-step step_time
+    column varies); --check runs the checkify guard without tripping on a
+    healthy trajectory (SURVEY.md §5.1-5.2 aux wiring)."""
+    from nbody_tpu.cli.datagen import main as datagen_main
+
+    out = tmp_path / "chunked.csv"
+    datagen_main([
+        "--n-bodies", "8", "--integrator", "leapfrog", "--steps", "9",
+        "--sim-type", "disk", "--seed", "5", "--time-chunks", "3",
+        "--check", "--output", str(out),
+    ])
+    df = pd.read_csv(out)
+    # 3 chunks of 3 steps -> at most 3 distinct step_time values, and the
+    # column must be constant within each chunk
+    per_step = df.groupby("step")["step_time"].first()
+    assert len(per_step) == 9
+    assert per_step[:3].nunique() == 1 and per_step[3:6].nunique() == 1
+    npz = np.load(str(out)[:-4] + ".npz")
+    assert "scene0_step_time" in npz
+
+
+def test_throw_if_nonfinite_raises():
+    from jax.experimental.checkify import JaxRuntimeError
+
+    from nbody_tpu.utils.debug import throw_if_nonfinite
+
+    throw_if_nonfinite({"a": np.ones(3)}, what="ok tree")  # no raise
+    with pytest.raises(JaxRuntimeError):
+        throw_if_nonfinite({"a": np.array([1.0, np.nan])}, what="bad tree")

@@ -50,3 +50,43 @@ def test_build_model_and_scenarios():
     m2 = cfg2.build_model()
     assert isinstance(m2, ContinuousConvModel)
     assert m2.filter_resolution == (4,)  # list -> tuple for hashability
+
+
+def test_committed_recipe_configs_round_trip(tmp_path):
+    """The two committed recipe configs (configs/*.json) must round-trip
+    through ExperimentConfig and build the exact driver models — config-runner
+    parity with run_experiments.sh (VERDICT round 1, item 8)."""
+    import json
+    import os
+
+    from nbody_tpu.config import ExperimentConfig
+    from nbody_tpu.models import ContinuousConvModel, GraphModel
+
+    base = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+    cfg = ExperimentConfig.load(os.path.join(base, "gnn_reference.json"))
+    m = cfg.build_model()
+    assert isinstance(m, GraphModel)
+    assert (m.input_dim, m.gnn_dim, m.message_passing_steps, m.aggr,
+            m.neighbors, m.scale_factor) == (4, 64, 2, "mean", 10, 1e6)
+    assert cfg.train.batch_mode == "reference"
+    assert cfg.train.learning_rate == 0.01
+
+    cfg2 = ExperimentConfig.load(os.path.join(base, "contconv_adopted.json"))
+    m2 = cfg2.build_model()
+    assert isinstance(m2, ContinuousConvModel)
+    assert m2.filter_resolution == (6, 4)
+    assert m2.zero_init_output and m2.encoder_hiddens == (32, 64)
+    assert cfg2.train.merge_files and cfg2.train.batch_mode == "mixed"
+    assert cfg2.train.learning_rate == 0.001
+
+    # save -> load round trip preserves everything
+    p = tmp_path / "rt.json"
+    cfg2.save(str(p))
+    rt = ExperimentConfig.load(str(p))
+    assert rt.to_dict() == cfg2.to_dict()
+
+    # dotted-path overrides reach the new fields
+    ov = cfg.apply_overrides(["train.batch_mode=mixed",
+                              "train.merge_files=true"])
+    assert ov.train.batch_mode == "mixed" and ov.train.merge_files is True
