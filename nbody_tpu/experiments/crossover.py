@@ -1,0 +1,89 @@
+"""Direct-sum vs surrogate crossover sweep — the economics behind the
+surrogate's large-N reason to exist (VERDICT round 1, items 1/7; reference
+anchor: the surrogates' O(N·k) pitch vs ``simulation.py:80-88``'s O(N^2)).
+
+For each N: time the Pallas direct-sum leapfrog step and the surrogate
+rollout step (on-device kNN rebuild via the Morton search + GNN forward),
+both as multi-step scans with honest drained timing.
+
+Usage (real TPU):
+    python -m nbody_tpu.experiments.crossover \
+        --n-bodies 10000 20000 50000 100000 \
+        --out results/large_scale/crossover.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.core.simulate import SimulationConfig, simulate
+from nbody_tpu.ics import generate_spiral
+from nbody_tpu.models import GraphModel
+from nbody_tpu.train.graphs import build_graph
+from nbody_tpu.train.rollout import autoregressive_rollout
+from nbody_tpu.utils.timing import device_time, fetch_scalar
+
+G, EPS, DT = 4.5e-6, 0.05, 1e-4
+
+
+def _timed(fn):
+    out = fn()
+    device_time(lambda: out)  # drain compile+warm completely
+    _, el = device_time(fn)
+    return el
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-bodies", type=int, nargs="+",
+                   default=[10_000, 20_000, 50_000, 100_000])
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--neighbors", type=int, default=10)
+    p.add_argument("--graph-refresh", type=int, nargs="+", default=[1, 8])
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    rows = []
+    for n in args.n_bodies:
+        pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
+        fetch_scalar(pos)
+        cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
+                               calc_energy=False, force_backend="pallas")
+        el = _timed(lambda: simulate(pos, vel, mass, args.steps, cfg))
+        rows.append({"n": n, "mode": "direct",
+                     "ms_per_step": el / args.steps * 1e3,
+                     "psteps_per_s": n * args.steps / el})
+        print(json.dumps(rows[-1]), flush=True)
+
+        model = GraphModel(
+            input_dim=4, gnn_dim=64, message_passing_steps=2, aggr="mean",
+            neighbors=args.neighbors, scale_factor=1e6, knn_method="morton",
+        )
+        x0 = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
+        idx, valid = build_graph(model.graph_spec, x0[..., :3])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0, idx, valid)
+        for r in args.graph_refresh:
+            el = _timed(lambda r=r: autoregressive_rollout(
+                model, variables, pos, vel, mass, args.steps + 1, DT,
+                graph_refresh=r,
+            ))
+            rows.append({"n": n, "mode": f"surrogate(refresh={r})",
+                         "ms_per_step": el / args.steps * 1e3,
+                         "psteps_per_s": n * args.steps / el})
+            print(json.dumps(rows[-1]), flush=True)
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"device": jax.devices()[0].platform,
+                       "steps": args.steps, "rows": rows}, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

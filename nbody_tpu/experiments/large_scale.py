@@ -48,7 +48,11 @@ def main(argv=None):
                    choices=["exact", "approx", "morton"],
                    help="surrogate neighbor search (morton = the O(N*W) "
                         "production path, ops/spatial.py)")
-    p.add_argument("--knn-window", type=int, default=96)
+    p.add_argument("--knn-window", type=int, default=64)
+    p.add_argument("--graph-refresh", type=int, default=1,
+                   help="rebuild the surrogate's neighbor graph every this "
+                        "many steps (Verlet-list amortisation; 1 = per-step "
+                        "reference parity)")
     p.add_argument("--out", default=None, help="JSON artifact path")
     args = p.parse_args(argv)
 
@@ -77,11 +81,13 @@ def main(argv=None):
         # steps+1 rows = `steps` integration updates (row 0 is the seed
         # state), aligning with simulate()'s `steps` updates.
         run = lambda: autoregressive_rollout(
-            model, variables, pos, vel, mass, steps + 1, DT
+            model, variables, pos, vel, mass, steps + 1, DT,
+            graph_refresh=args.graph_refresh,
         )
         fetch_scalar(run()[0])
         (ps, _, _), el = device_time(run)
-        results["surrogate"] = {"seconds": el, "psteps_per_s": n * steps / el}
+        results["surrogate"] = {"seconds": el, "psteps_per_s": n * steps / el,
+                                "graph_refresh": args.graph_refresh}
         if "direct" in results:
             drift = float(
                 np.sqrt(((np.asarray(ps[-1]) - direct_final) ** 2).mean())

@@ -195,3 +195,33 @@ def test_predict_accelerations_matches_rollout_seed():
     acc = predict_accelerations(_GravityOracle(), {}, pos, vel, mass)
     want = pairwise_accelerations(pos, mass, G, EPS)
     np.testing.assert_allclose(np.asarray(acc), np.asarray(want), rtol=1e-5)
+
+
+def test_rollout_graph_refresh():
+    """Verlet-style neighbor-list reuse: refresh=1 is the exact reference
+    semantics; refresh=3 must produce the same shapes and stay close over a
+    short horizon (dt=1e-4 moves particles ~1e-5 per step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_tpu.models import GraphModel
+    from nbody_tpu.train.graphs import build_graph
+    from nbody_tpu.train.rollout import autoregressive_rollout
+
+    model = GraphModel(input_dim=4, gnn_dim=8, message_passing_steps=1,
+                       aggr="mean", neighbors=4, scale_factor=1e6)
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (20, 3))
+    vel = jax.random.normal(jax.random.PRNGKey(1), (20, 3)) * 1e-3
+    mass = jnp.ones(20)
+    x = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
+    idx, valid = build_graph(model.graph_spec, x[..., :3])
+    variables = model.init(jax.random.PRNGKey(2), x, idx, valid)
+
+    base = autoregressive_rollout(model, variables, pos, vel, mass, 8, 1e-4)
+    reuse = autoregressive_rollout(model, variables, pos, vel, mass, 8, 1e-4,
+                                   graph_refresh=3)  # 7 steps = 3 segments, padded
+    assert all(b.shape == r.shape for b, r in zip(base, reuse))
+    np.testing.assert_allclose(
+        np.asarray(reuse[0]), np.asarray(base[0]), rtol=1e-4, atol=1e-6
+    )
