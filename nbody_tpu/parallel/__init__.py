@@ -1,12 +1,17 @@
 from nbody_tpu.parallel.mesh import make_mesh, particle_sharding
 from nbody_tpu.parallel.ring import ring_accelerations, ring_simulate
-from nbody_tpu.parallel.surrogate import sharded_predict, sharded_rollout
+from nbody_tpu.parallel.surrogate import (
+    sharded_contconv_predict,
+    sharded_predict,
+    sharded_rollout,
+)
 
 __all__ = [
     "make_mesh",
     "particle_sharding",
     "ring_accelerations",
     "ring_simulate",
+    "sharded_contconv_predict",
     "sharded_predict",
     "sharded_rollout",
 ]

@@ -133,6 +133,119 @@ def sharded_predict(model, variables, pos, vel, mass, mesh: Mesh,
     )
 
 
+def _mlp_encoder_bn(params, bstats, x, eps=1e-5):
+    """models.mlp.MLP with norm='batch_norm' in eval mode (running stats) —
+    the ContConv encoder (contconv.py:135-141)."""
+    dense_names = sorted(
+        (k for k in params if k.startswith("Dense_")),
+        key=lambda s: int(s.split("_")[1]),
+    )
+    for i, name in enumerate(dense_names):
+        x = _dense(params[name], x)
+        if i < len(dense_names) - 1:  # plain_last
+            bn_p = params[f"MaskedBatchNorm_{i}"]
+            bn_s = bstats[f"MaskedBatchNorm_{i}"]
+            x = (x - bn_s["mean"]) * jax.lax.rsqrt(bn_s["var"] + eps)
+            x = x * bn_p["scale"] + bn_p["bias"]
+            x = jnp.tanh(x)
+    return x
+
+
+def sharded_contconv_predict(model, variables, pos, vel, mass, mesh: Mesh,
+                             axis: str = "particles"):
+    """Particle-sharded ContinuousConvModel prediction (eval mode): the
+    radius graph is built per query shard against the all-gathered positions
+    and each conv layer all_gathers its input features — the contconv
+    counterpart of :func:`sharded_predict`. Mirrors
+    ``models.contconv.ContinuousConvModel.__call__``; the CPU-mesh equality
+    test is the guard."""
+    from nbody_tpu.models.contconv import ball_to_cube
+    from nbody_tpu.ops.interpolate import trilinear_corners
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    assert n % n_dev == 0
+    shard = n // n_dev
+    k_max = min(model.radius_kmax, n)
+    resolutions = model._resolutions()
+
+    def conv_layer(p, pos_l, pos_full, feat_l, feat_full, idx, valid, d, radius):
+        pos_j = pos_full[idx]  # (shard, k, 3)
+        r = pos_j - pos_l[:, None, :]
+        dist2 = jnp.sum(r * r, axis=-1)
+        r2 = jnp.asarray(radius, dist2.dtype) ** 2
+        in_radius = (dist2 < r2) & valid
+        window = jnp.where(in_radius, (1.0 - dist2 / r2) ** 3, 0.0)
+        mapped = ball_to_cube(r)
+        grid_coords = (mapped + 1.0) * ((d - 1) / 2.0)
+        cidx, cw = trilinear_corners(grid_coords.reshape(-1, 3), d)
+        cidx = cidx.reshape(shard, k_max, 8)
+        cw = cw.reshape(shard, k_max, 8)
+        feat_j = feat_full[idx]
+        wf = feat_j * window[..., None]
+        cells = jnp.arange(d * d * d)
+        oh = jnp.zeros((shard, k_max, d * d * d), feat_j.dtype)
+        for c in range(8):
+            oh = oh + (cidx[..., c, None] == cells) * cw[..., c, None]
+        g = jnp.einsum("nkz,nki->nzi", oh, wf)
+        ci = p["filters"].shape[3]
+        out = jnp.einsum(
+            "nzi,zio->no", g, p["filters"].reshape(d * d * d, ci, -1)
+        )
+        if model.agg == "mean":
+            cnt = jnp.sum(in_radius.astype(out.dtype), axis=-1, keepdims=True)
+            out = out / jnp.maximum(cnt, 1.0)
+        return out
+
+    def fwd(pos_l, vel_l, mass_l):
+        me = jax.lax.axis_index(axis)
+        x_l = jnp.concatenate([pos_l, vel_l, mass_l[:, None]], axis=-1)
+        x_full = jax.lax.all_gather(x_l, axis, tiled=True)
+        pos_full = x_full[:, :3]
+
+        idx, valid = knn_query(
+            pos_l, pos_full, k_max, q_offset=me * shard,
+            include_self=model.self_loops,
+        )
+        d2_sel = jnp.sum((pos_full[idx] - pos_l[:, None, :]) ** 2, axis=-1)
+        valid = valid & (d2_sel < jnp.asarray(model.radius) ** 2)
+        idx = jnp.where(valid, idx, 0)
+
+        h_full = select_input_features(x_full, model.in_channels)
+        if model.encoder_hiddens:
+            h_full = _mlp_encoder_bn(params["MLP_0"], bstats["MLP_0"], h_full)
+        h_l = jax.lax.dynamic_slice_in_dim(h_full, me * shard, shard)
+        enc_l = h_l
+
+        for li in range(model.continuous_conv_layers):
+            p = params[f"ContinuousConv_{li}"]
+            h_l = jnp.tanh(
+                conv_layer(p, pos_l, pos_full, h_l, h_full, idx, valid,
+                           resolutions[li], model.radius)
+            )
+            if li < model.continuous_conv_layers - 1:
+                h_full = jax.lax.all_gather(h_l, axis, tiled=True)
+
+        out = _layer_norm(
+            params["LayerNorm_0"], jnp.concatenate([enc_l, h_l], axis=-1)
+        )
+        return _output_head(params["OutputHead_0"], out)
+
+    spec = P(axis)
+    fn = jax.jit(
+        jax.shard_map(fwd, mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=spec)
+    )
+    sharding = NamedSharding(mesh, spec)
+    return fn(
+        jax.device_put(pos, sharding),
+        jax.device_put(vel, sharding),
+        jax.device_put(mass, sharding),
+    )
+
+
 def sharded_rollout(model, variables, pos0, vel0, mass, steps: int, dt: float,
                     mesh: Mesh, axis: str = "particles"):
     """Particle-sharded autoregressive leapfrog rollout (KDK with the learned

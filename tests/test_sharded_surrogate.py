@@ -73,3 +73,39 @@ def test_sharded_predict_with_output_hiddens(mesh8):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-7
     )
+
+
+def test_sharded_contconv_matches_single_device(mesh8):
+    from nbody_tpu.models import ContinuousConvModel
+    from nbody_tpu.parallel.surrogate import sharded_contconv_predict
+
+    model = ContinuousConvModel(
+        in_channels=4, filter_resolution=(4, 3), radius=1.5,
+        continuous_conv_layers=2, continuous_conv_dim=8,
+        encoder_hiddens=(8,), decoder_hiddens=(8,), scale_factor=1e6,
+        radius_kmax=6, self_loops=True,
+    )
+    n = 48
+    pos, vel, mass, variables = _setup(model, n, seed=3)
+    want = predict_accelerations(model, variables, pos, vel, mass)
+    got = sharded_contconv_predict(model, variables, pos, vel, mass, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-7
+    )
+
+
+def test_sharded_contconv_no_encoder(mesh8):
+    from nbody_tpu.models import ContinuousConvModel
+    from nbody_tpu.parallel.surrogate import sharded_contconv_predict
+
+    model = ContinuousConvModel(
+        in_channels=7, filter_resolution=4, radius=2.0,
+        continuous_conv_layers=1, continuous_conv_dim=8,
+        scale_factor=1e6, radius_kmax=5, self_loops=False, agg="sum",
+    )
+    pos, vel, mass, variables = _setup(model, 32, seed=4)
+    want = predict_accelerations(model, variables, pos, vel, mass)
+    got = sharded_contconv_predict(model, variables, pos, vel, mass, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-7
+    )
