@@ -45,6 +45,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--neighbors", type=int, default=10)
     p.add_argument("--graph-refresh", type=int, nargs="+", default=[1, 8])
+    p.add_argument("--knn-impl", default=None,
+                   help="morton backend override: xla | pallas")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -63,6 +65,7 @@ def main(argv=None):
         model = GraphModel(
             input_dim=4, gnn_dim=64, message_passing_steps=2, aggr="mean",
             neighbors=args.neighbors, scale_factor=1e6, knn_method="morton",
+            knn_impl=args.knn_impl,
         )
         x0 = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
         idx, valid = build_graph(model.graph_spec, x0[..., :3])

@@ -58,6 +58,8 @@ def main(argv=None):
     p.add_argument("--n-bodies", type=int, nargs="+", default=[20_000, 100_000])
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--windows", type=int, nargs="+", default=[64, 96, 128])
+    p.add_argument("--pallas-blocks", type=int, nargs="+", default=[128, 256],
+                   help="block sizes for the fused-Pallas morton path")
     p.add_argument("--profiles", nargs="+", default=["disk", "spiral"])
     p.add_argument("--out", default=None, help="JSON artifact path")
     args = p.parse_args(argv)
@@ -96,6 +98,20 @@ def main(argv=None):
                     "profile": profile, "n": n, "k": args.k,
                     "method": f"morton(W={w})", "seconds": t_m,
                     "recall": recall_of(idx_m, valid_m, idx_e, valid_e),
+                })
+                print(json.dumps(rows[-1]))
+
+            for b in args.pallas_blocks:
+                knn_p = jax.jit(
+                    lambda pos, b=b: knn_morton(
+                        pos, args.k, block=b, impl="pallas"
+                    )
+                )
+                (idx_p, valid_p), t_p = _timed(lambda: knn_p(pos))
+                rows.append({
+                    "profile": profile, "n": n, "k": args.k,
+                    "method": f"morton-pallas(B={b})", "seconds": t_p,
+                    "recall": recall_of(idx_p, valid_p, idx_e, valid_e),
                 })
                 print(json.dumps(rows[-1]))
 

@@ -69,6 +69,7 @@ class GraphModel(nn.Module):
     # "morton" is the O(N·W) large-N search (ops/spatial.py) that makes
     # surrogate rollouts beat the direct-sum kernel at 20k+ bodies
     knn_window: int = 64  # morton candidate half-window per curve
+    knn_impl: Optional[str] = None  # morton backend: None/"xla" | "pallas"
 
     @property
     def graph_spec(self):
@@ -77,6 +78,8 @@ class GraphModel(nn.Module):
         spec = {"k": self.neighbors, "include_self": False, "method": method}
         if method == "morton":
             spec["window"] = self.knn_window
+            if self.knn_impl:
+                spec["impl"] = self.knn_impl
         return ("knn", spec)
 
     @nn.compact

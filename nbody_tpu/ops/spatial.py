@@ -42,10 +42,13 @@ call — jittable, vmappable, and cheap enough to rebuild per rollout step.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _INF = float(jnp.finfo(jnp.float32).max)
 _BIG = 1e15  # sentinel coordinate for padded/masked rows (d2 ~ 1e30 < _INF)
@@ -200,6 +203,190 @@ def _merge_dedup(cand, d2, k, chunk=512):
     return idx.reshape(-1, k)[:n], val.reshape(-1, k)[:n]
 
 
+# ---------------------------------------------------------------------------
+# Pallas-fused select path (impl="pallas")
+#
+# The XLA path above processes blocks *sequentially* (``lax.map`` is a scan)
+# and pays per-step dispatch for tiny (block, width) shapes — at 20k bodies
+# the whole search is latency-bound, not compute-bound. Here the blocked
+# window select and the cross-copy merge run as Pallas grid kernels: Mosaic
+# pipelines the per-block DMAs against compute, all copies share ONE batched
+# payload sort and ONE kernel launch (grid = (n_copies, n_blocks)), and the
+# candidate ids come out of one-hot lane reductions — no gathers anywhere,
+# matching the design rule of the XLA path.
+#
+# The window here is structural: each grid step sees its own block plus the
+# left and right neighbor blocks (three pipelined block inputs), so every row
+# has between B and 2B candidates per side (nominal window == block >= 128,
+# wider than the XLA default W=64..96 — recall can only improve).
+# ---------------------------------------------------------------------------
+
+
+def _select_kernel(k, include_self, q_ref, cl_ref, cc_ref, cr_ref,
+                   gl_ref, gc_ref, gr_ref, ids_ref, d2_ref):
+    """One (copy, block) grid step: distances of a (b, 3) query block against
+    its (3, 3b) candidate window, k-pass min-extraction, candidate ids via
+    one-hot lane reductions (TPU-safe: no gather)."""
+    b = q_ref.shape[1]
+    cand = jnp.concatenate([cl_ref[0], cc_ref[0], cr_ref[0]], axis=1)  # (3,3b)
+    gid = jnp.concatenate([gl_ref[0], gc_ref[0], gr_ref[0]], axis=1)  # (1,3b)
+    q = q_ref[0]  # (b, 3)
+    xi, yi, zi = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+    dx = cand[0:1, :] - xi
+    dy = cand[1:2, :] - yi
+    dz = cand[2:3, :] - zi
+    d2 = dx * dx + dy * dy + dz * dz  # (b, 3b)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, 3 * b), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, 3 * b), 1)
+    bad = d2 >= 1e29  # _BIG sentinel pads / masked rows
+    if not include_self:
+        # query row r is sorted row i*b + r == candidate column b + r
+        bad |= cols == rows + b
+    d2 = jnp.where(bad, _INF, jnp.maximum(d2, 0.0))
+
+    g_bcast = jnp.broadcast_to(gid, (b, 3 * b))
+    ids, vals = [], []
+    for _ in range(k):
+        mn = jnp.min(d2, axis=1, keepdims=True)  # (b, 1)
+        am = jnp.min(jnp.where(d2 == mn, cols, 3 * b), axis=1)  # first argmin
+        hit = cols == am[:, None]
+        ids.append(jnp.sum(jnp.where(hit, g_bcast, 0), axis=1))
+        vals.append(mn[:, 0])
+        d2 = jnp.where(hit, _INF, d2)
+    ids_ref[0] = jnp.stack(ids, axis=1)
+    d2_ref[0] = jnp.stack(vals, axis=1)
+
+
+def _merge_kernel(k, cand_ref, d2_ref, ids_ref, val_ref):
+    """One row-chunk of the cross-copy merge: k-pass min-extraction with
+    *id masking* (every slot holding the picked id is masked, deduplicating
+    across copies for free — same semantics as ``_merge_dedup``)."""
+    cc = cand_ref[:]  # (r, c4) int32
+    dd = d2_ref[:]  # (r, c4) f32
+    r, c4 = cc.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, c4), 1)
+    ids, vals = [], []
+    for _ in range(k):
+        mn = jnp.min(dd, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(dd == mn, cols, c4), axis=1)
+        hit = cols == am[:, None]
+        pid = jnp.sum(jnp.where(hit, cc, 0), axis=1)  # (r,)
+        ids.append(pid)
+        vals.append(mn[:, 0])
+        dd = jnp.where(cc == pid[:, None], _INF, dd)  # masks ALL duplicates
+    ids_ref[:] = jnp.stack(ids, axis=1)
+    val_ref[:] = jnp.stack(vals, axis=1)
+
+
+def _copy_passes_pallas(pos, k, block, n_copies, include_self, mask, interpret):
+    """All curve copies at once: one batched payload sort (C leading axis,
+    ``lax.sort`` along the last), one Pallas launch over grid (C, n_blocks).
+
+    :return: (qg (C, npad), ids (C, npad, k), d2 (C, npad, k)) in each copy's
+        sorted order; ``qg`` maps rows back to original ids (pads carry n).
+    """
+    n = pos.shape[0]
+    b = block
+    nb = -(-n // b)
+    npad = nb * b
+
+    keys = jnp.stack(
+        [morton_keys(pos, mask, shift=s, rot=r) for r, s in _COPIES[:n_copies]]
+    )  # (C, N)
+    posm = (
+        jnp.where(mask.astype(bool)[:, None], pos, _BIG)
+        if mask is not None else pos
+    )
+    gid = jnp.arange(n, dtype=jnp.int32)
+    bc = lambda v: jnp.broadcast_to(v, keys.shape)
+    _, sx, sy, sz, sg = jax.lax.sort(
+        (keys, bc(posm[:, 0]), bc(posm[:, 1]), bc(posm[:, 2]), bc(gid)),
+        num_keys=1,
+    )
+
+    q = jnp.pad(
+        jnp.stack([sx, sy, sz], axis=2),  # (C, N, 3)
+        ((0, 0), (0, npad - n), (0, 0)), constant_values=_BIG,
+    )
+    candT = jnp.pad(
+        jnp.stack([sx, sy, sz], axis=1),  # (C, 3, N)
+        ((0, 0), (0, 0), (b, b + npad - n)), constant_values=_BIG,
+    )
+    cgT = jnp.pad(
+        sg, ((0, 0), (b, b + npad - n)), constant_values=n
+    )[:, None, :]  # (C, 1, L)
+    qg = jnp.pad(sg, ((0, 0), (0, npad - n)), constant_values=n)
+
+    ids, d2 = pl.pallas_call(
+        partial(_select_kernel, k, include_self),
+        grid=(n_copies, nb),
+        in_specs=[
+            pl.BlockSpec((1, b, 3), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, b), lambda c, i: (c, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, b), lambda c, i: (c, 0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, b), lambda c, i: (c, 0, i + 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda c, i: (c, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda c, i: (c, 0, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, b), lambda c, i: (c, 0, i + 2),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, b, k), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda c, i: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_copies, npad, k), jnp.int32),
+            jax.ShapeDtypeStruct((n_copies, npad, k), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_copies * npad * 3 * b * (8 + 5 * k),
+            bytes_accessed=n_copies * (npad * 16 * 3 + npad * k * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, candT, candT, candT, cgT, cgT, cgT)
+    return qg, ids, d2
+
+
+def _merge_pallas(cand, d2, k, interpret, chunk=512):
+    """Pallas twin of :func:`_merge_dedup` — parallel grid over row chunks."""
+    n, c4 = cand.shape
+    nch = -(-n // chunk)
+    cand_p = jnp.pad(cand, ((0, nch * chunk - n), (0, 0)), constant_values=-1)
+    d2_p = jnp.pad(d2, ((0, nch * chunk - n), (0, 0)), constant_values=_INF)
+    idx, val = pl.pallas_call(
+        partial(_merge_kernel, k),
+        grid=(nch,),
+        in_specs=[
+            pl.BlockSpec((chunk, c4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, c4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nch * chunk, k), jnp.int32),
+            jax.ShapeDtypeStruct((nch * chunk, k), jnp.float32),
+        ),
+        interpret=interpret,
+    )(cand_p, d2_p)
+    return idx[:n], val[:n]
+
+
 def knn_morton(
     pos: jax.Array,
     k: int,
@@ -208,6 +395,7 @@ def knn_morton(
     window: int = 64,
     block: int = 256,
     n_copies: int = 4,
+    impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate (measured >=0.99-recall on galaxy profiles) k nearest
     neighbors in O(N·(B+2W)).
@@ -221,6 +409,11 @@ def knn_morton(
     :param block: rows per blocked-distance step (MXU tile height).
     :param n_copies: how many curve copies to union (<= 4: identity, shifted,
         two rotated — see ``_COPIES``).
+    :param impl: "xla" (lax.map sequential blocks — the portable default),
+        "pallas" (fused grid kernels, the fast path on real TPU hardware) or
+        "pallas_interpret" (same kernels on the CPU interpreter, for tests).
+        The pallas path's window is structural (== block, see module notes);
+        ``window`` is ignored there.
     """
     n = pos.shape[0]
     k = min(k, n)
@@ -243,25 +436,45 @@ def knn_morton(
             valid = valid & mask.astype(bool)[:, None]
         return jnp.where(valid, sel, 0).astype(jnp.int32), valid
 
-    gid = jnp.arange(n, dtype=jnp.int32)
     idx_bufs, d2_bufs = [], []
-    for rot, shift in _COPIES[:n_copies]:
-        qg, gidx, sd2 = _copy_pass(
-            pos, gid, k, block, window, rot, shift, include_self, mask
+    if impl in ("pallas", "pallas_interpret"):
+        qgs, idss, d2s = _copy_passes_pallas(
+            pos, k, block, n_copies, include_self, mask,
+            interpret=impl == "pallas_interpret",
         )
-        # Scatter back to original row order; pad rows (qg == n) drop. One
-        # whole-row scatter per copy — scattering into a column slice of a
-        # shared wide buffer measured ~470 ms at 20k (vs ~3 ms per-row).
-        idx_bufs.append(
-            jnp.full((n, k), -1, jnp.int32).at[qg].set(gidx, mode="drop")
+        for c in range(n_copies):
+            idx_bufs.append(
+                jnp.full((n, k), -1, jnp.int32)
+                .at[qgs[c]].set(idss[c], mode="drop")
+            )
+            d2_bufs.append(
+                jnp.full((n, k), _INF, jnp.float32)
+                .at[qgs[c]].set(d2s[c], mode="drop")
+            )
+        idx, d2 = _merge_pallas(
+            jnp.concatenate(idx_bufs, axis=1),
+            jnp.concatenate(d2_bufs, axis=1),
+            k, interpret=impl == "pallas_interpret",
         )
-        d2_bufs.append(
-            jnp.full((n, k), _INF, jnp.float32).at[qg].set(sd2, mode="drop")
+    else:
+        gid = jnp.arange(n, dtype=jnp.int32)
+        for rot, shift in _COPIES[:n_copies]:
+            qg, gidx, sd2 = _copy_pass(
+                pos, gid, k, block, window, rot, shift, include_self, mask
+            )
+            # Scatter back to original row order; pad rows (qg == n) drop. One
+            # whole-row scatter per copy — scattering into a column slice of a
+            # shared wide buffer measured ~470 ms at 20k (vs ~3 ms per-row).
+            idx_bufs.append(
+                jnp.full((n, k), -1, jnp.int32).at[qg].set(gidx, mode="drop")
+            )
+            d2_bufs.append(
+                jnp.full((n, k), _INF, jnp.float32).at[qg].set(sd2, mode="drop")
+            )
+        idx, d2 = _merge_dedup(
+            jnp.concatenate(idx_bufs, axis=1),
+            jnp.concatenate(d2_bufs, axis=1), k
         )
-
-    idx, d2 = _merge_dedup(
-        jnp.concatenate(idx_bufs, axis=1), jnp.concatenate(d2_bufs, axis=1), k
-    )
     valid = d2 < 1e29
     if mask is not None:
         valid = valid & mask.astype(bool)[:, None]
@@ -270,12 +483,13 @@ def knn_morton(
 
 
 def batched_knn_morton(
-    pos, k, mask=None, include_self=False, window=64, block=256, n_copies=4
+    pos, k, mask=None, include_self=False, window=64, block=256, n_copies=4,
+    impl="xla",
 ):
     """vmap of :func:`knn_morton` over a leading batch axis."""
     fn = lambda p, m: knn_morton(
         p, k, mask=m, include_self=include_self, window=window, block=block,
-        n_copies=n_copies,
+        n_copies=n_copies, impl=impl,
     )
     if mask is None:
         return jax.vmap(lambda p: fn(p, None))(pos)

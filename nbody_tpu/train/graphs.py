@@ -32,6 +32,7 @@ def build_graph(graph_spec, pos, mask=None):
                 window=kw.get("window", 64),
                 block=kw.get("block", 256),
                 n_copies=kw.get("n_copies", 4),
+                impl=kw.get("impl", "xla"),
             )
         return batched_knn_neighbors(
             pos,
