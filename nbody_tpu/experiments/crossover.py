@@ -75,7 +75,8 @@ def main(argv=None):
                 model, variables, pos, vel, mass, args.steps + 1, DT,
                 graph_refresh=r,
             ))
-            rows.append({"n": n, "mode": f"surrogate(refresh={r})",
+            impl_tag = f"{args.knn_impl}," if args.knn_impl else ""
+            rows.append({"n": n, "mode": f"surrogate({impl_tag}refresh={r})",
                          "ms_per_step": el / args.steps * 1e3,
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)

@@ -83,7 +83,8 @@ def main(argv=None):
         )
         (pf, vf, af), _ = run()
         fetch_scalar(pf)
-        (pf, vf, af), el = device_time(run)
+        res, el = device_time(run)
+        (pf, vf, af), _ = res
         out[f"ring_{backend}"] = {
             "seconds": el,
             "psteps_per_s": n * steps / el,

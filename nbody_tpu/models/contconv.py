@@ -137,19 +137,23 @@ class ContinuousConvModel(nn.Module):
     scale_factor: float = 1.0
     radius_kmax: int = DEFAULT_RADIUS_KMAX
     zero_init_output: bool = False
+    radius_method: Optional[str] = None  # None/"exact" | "morton" (large N)
+    radius_impl: Optional[str] = None  # morton backend: "xla" | "pallas"
 
     @property
     def graph_spec(self):
         """Radius graph rebuilt from positions each call (contconv.py:225);
         ``radius_kmax`` mirrors PyG radius_graph's max_num_neighbors=32."""
-        return (
-            "radius",
-            {
-                "radius": self.radius,
-                "k_max": self.radius_kmax,
-                "include_self": self.self_loops,
-            },
-        )
+        spec = {
+            "radius": self.radius,
+            "k_max": self.radius_kmax,
+            "include_self": self.self_loops,
+        }
+        if self.radius_method:
+            spec["method"] = self.radius_method
+        if self.radius_impl:
+            spec["impl"] = self.radius_impl
+        return ("radius", spec)
 
     def _resolutions(self) -> Sequence[int]:
         fr = self.filter_resolution

@@ -25,6 +25,8 @@ def radius_neighbors(
     mask: Optional[jax.Array] = None,
     include_self: bool = True,
     chunk_size: Optional[int] = None,
+    method: str = "exact",
+    impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
     """Neighbors within ``radius``, padded to ``(N, k_max)``.
 
@@ -35,15 +37,27 @@ def radius_neighbors(
     :param include_self: include the self edge (PyG ``loop=True``; the
         reference ContConv uses ``self_loops=True``, ``contconv.py:109,225``).
     :param chunk_size: forwarded to the large-N streamed kNN path.
+    :param method: inner candidate search — "exact" (streamed O(N^2) kNN) or
+        "morton" (the O(N·W) curve search, the production large-N path that
+        the fixed-cell hash grid could not provide on clustered profiles).
+    :param impl: morton backend ("xla" | "pallas" | "pallas_interpret").
     :return: (idx, valid) — (N, k_max) int32 indices, (N, k_max) bool mask.
     """
     n = pos.shape[0]
     k_max = min(k_max, n)
     # Nearest-k_max first (shares the dense/streamed kNN machinery), then the
     # radius cutoff — this is exactly "nearest k_max within r".
-    idx, valid = knn_neighbors(
-        pos, k_max, mask=mask, include_self=include_self, chunk_size=chunk_size
-    )
+    if method == "morton":
+        from nbody_tpu.ops.spatial import knn_morton
+
+        idx, valid = knn_morton(
+            pos, k_max, mask=mask, include_self=include_self, impl=impl
+        )
+    else:
+        idx, valid = knn_neighbors(
+            pos, k_max, mask=mask, include_self=include_self,
+            chunk_size=chunk_size,
+        )
     d2_sel = jnp.sum(
         (pos[idx] - pos[:, None, :]) ** 2, axis=-1
     )  # (N, k_max) exact distances of the selected candidates
@@ -52,10 +66,12 @@ def radius_neighbors(
     return idx.astype(jnp.int32), valid
 
 
-def batched_radius_neighbors(pos, radius, k_max=32, mask=None, include_self=True):
+def batched_radius_neighbors(pos, radius, k_max=32, mask=None,
+                             include_self=True, method="exact", impl="xla"):
     """vmap of :func:`radius_neighbors` over a leading batch axis."""
     fn = lambda p, m: radius_neighbors(
-        p, radius, k_max=k_max, mask=m, include_self=include_self
+        p, radius, k_max=k_max, mask=m, include_self=include_self,
+        method=method, impl=impl,
     )
     if mask is None:
         return jax.vmap(lambda p: fn(p, None))(pos)

@@ -48,5 +48,7 @@ def build_graph(graph_spec, pos, mask=None):
             k_max=kw.get("k_max", 32),
             mask=mask,
             include_self=kw.get("include_self", True),
+            method=kw.get("method", "exact"),
+            impl=kw.get("impl", "xla"),
         )
     raise ValueError(f"unknown graph spec kind {kind!r}")

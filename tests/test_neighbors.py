@@ -86,6 +86,52 @@ def test_radius_truncates_to_nearest():
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_radius_morton_methods():
+    """The morton-backed radius search (the production large-N path for the
+    ContConv graph, replacing torch_cluster.radius_graph at contconv.py:225)
+    must recover (nearly) the exact in-radius sets; cutoff semantics are
+    exact because distances are recomputed on the selected candidates."""
+    from nbody_tpu.ics import generate_disk
+
+    pos, _, _ = generate_disk(jax.random.PRNGKey(8), 900)
+    r = 0.5
+    idx_e, valid_e = radius_neighbors(pos, r, k_max=16, include_self=True)
+    hits = tot = 0
+    for method, impl in (("morton", "xla"), ("morton", "pallas_interpret")):
+        idx_m, valid_m = radius_neighbors(
+            pos, r, k_max=16, include_self=True, method=method, impl=impl
+        )
+        ie, ve = np.asarray(idx_e), np.asarray(valid_e)
+        im, vm = np.asarray(idx_m), np.asarray(valid_m)
+        # every returned neighbor really is within r (cutoff is exact)
+        pn = np.asarray(pos)
+        d2 = ((pn[None] - pn[:, None]) ** 2).sum(-1)
+        for i in range(0, 900, 41):
+            assert np.all(d2[i][im[i][vm[i]]] < r * r)
+        hits = sum(
+            len(set(ie[i][ve[i]]) & set(im[i][vm[i]])) for i in range(900)
+        )
+        tot = sum(ve[i].sum() for i in range(900))
+        assert hits / tot >= 0.99, f"{method}/{impl} recall {hits/tot:.4f}"
+
+
+def test_contconv_radius_spec_plumbing():
+    from nbody_tpu.models import ContinuousConvModel
+    from nbody_tpu.train.graphs import build_graph
+
+    m = ContinuousConvModel(radius=0.4, radius_kmax=8,
+                            radius_method="morton", radius_impl="pallas")
+    kind, kw = m.graph_spec
+    assert kind == "radius" and kw["method"] == "morton"
+    assert kw["impl"] == "pallas"
+    pos = jax.random.normal(jax.random.PRNGKey(9), (1, 60, 3))
+    idx, valid = build_graph(
+        ("radius", {"radius": 0.4, "k_max": 8, "method": "morton",
+                    "impl": "pallas_interpret"}), pos
+    )
+    assert idx.shape == (1, 60, 8)
+
+
 def test_batched_knn_is_per_snapshot():
     rng = np.random.default_rng(4)
     pos = rng.normal(size=(3, 20, 3)).astype(np.float32)
