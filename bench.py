@@ -24,7 +24,10 @@ BASELINE_PSTEPS = 500 / 2.9e-3 / (N_BODIES / 500)  # O(N^2)-scaled CPU reference
 def main():
     from nbody_tpu.core.simulate import SimulationConfig, simulate
     from nbody_tpu.ics import generate_spiral
+    from nbody_tpu.utils.compile_cache import enable_persistent_cache
     from nbody_tpu.utils.timing import fetch_scalar as _sync
+
+    enable_persistent_cache()
 
     key = jax.random.PRNGKey(0)
     pos, vel, mass = generate_spiral(key, N_BODIES)

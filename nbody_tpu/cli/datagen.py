@@ -16,6 +16,9 @@ import argparse
 import numpy as np
 
 from nbody_tpu.data.generate import generate_dataset, scenario_product
+from nbody_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -47,6 +47,10 @@ def main(argv=None):
     p.add_argument("--graph-refresh", type=int, nargs="+", default=[1, 8])
     p.add_argument("--knn-impl", default=None,
                    help="morton backend override: xla | pallas")
+    p.add_argument("--knn-copies", type=int, default=4,
+                   help="morton curve copies (speed/recall tradeoff)")
+    p.add_argument("--knn-block", type=int, default=256,
+                   help="morton block rows (pallas window == block)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -65,7 +69,8 @@ def main(argv=None):
         model = GraphModel(
             input_dim=4, gnn_dim=64, message_passing_steps=2, aggr="mean",
             neighbors=args.neighbors, scale_factor=1e6, knn_method="morton",
-            knn_impl=args.knn_impl,
+            knn_impl=args.knn_impl, knn_copies=args.knn_copies,
+            knn_block=args.knn_block,
         )
         x0 = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
         idx, valid = build_graph(model.graph_spec, x0[..., :3])

@@ -60,6 +60,8 @@ def main(argv=None):
     p.add_argument("--windows", type=int, nargs="+", default=[64, 96, 128])
     p.add_argument("--pallas-blocks", type=int, nargs="+", default=[128, 256],
                    help="block sizes for the fused-Pallas morton path")
+    p.add_argument("--pallas-copies", type=int, nargs="+", default=[4],
+                   help="curve-copy counts for the fused-Pallas morton path")
     p.add_argument("--profiles", nargs="+", default=["disk", "spiral"])
     p.add_argument("--out", default=None, help="JSON artifact path")
     args = p.parse_args(argv)
@@ -102,24 +104,36 @@ def main(argv=None):
                 print(json.dumps(rows[-1]))
 
             for b in args.pallas_blocks:
-                knn_p = jax.jit(
-                    lambda pos, b=b: knn_morton(
-                        pos, args.k, block=b, impl="pallas"
+                for nc in args.pallas_copies:
+                    knn_p = jax.jit(
+                        lambda pos, b=b, nc=nc: knn_morton(
+                            pos, args.k, block=b, n_copies=nc, impl="pallas"
+                        )
                     )
-                )
-                (idx_p, valid_p), t_p = _timed(lambda: knn_p(pos))
-                rows.append({
-                    "profile": profile, "n": n, "k": args.k,
-                    "method": f"morton-pallas(B={b})", "seconds": t_p,
-                    "recall": recall_of(idx_p, valid_p, idx_e, valid_e),
-                })
-                print(json.dumps(rows[-1]))
+                    (idx_p, valid_p), t_p = _timed(lambda: knn_p(pos))
+                    tag = f"B={b}" if nc == 4 else f"B={b},C={nc}"
+                    rows.append({
+                        "profile": profile, "n": n, "k": args.k,
+                        "method": f"morton-pallas({tag})", "seconds": t_p,
+                        "recall": recall_of(idx_p, valid_p, idx_e, valid_e),
+                    })
+                    print(json.dumps(rows[-1]))
 
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
-            json.dump({"device": jax.devices()[0].platform, "rows": rows}, f,
-                      indent=1)
+            json.dump({
+                "device": jax.devices()[0].platform,
+                "methodology": (
+                    "single-dispatch warm timing closed by a scalar "
+                    "readback; on the tunneled backend every row includes "
+                    "a ~28 ms dispatch+readback RPC floor. Amortised "
+                    "(chained-scan) costs are lower — see "
+                    "crossover*.json, where the search runs inside a "
+                    "multi-step scan."
+                ),
+                "rows": rows,
+            }, f, indent=1)
         print(f"wrote {args.out}")
 
 

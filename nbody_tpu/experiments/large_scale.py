@@ -49,6 +49,8 @@ def main(argv=None):
                    help="surrogate neighbor search (morton = the O(N*W) "
                         "production path, ops/spatial.py)")
     p.add_argument("--knn-window", type=int, default=64)
+    p.add_argument("--knn-impl", default=None,
+                   help="morton backend override: xla | pallas")
     p.add_argument("--graph-refresh", type=int, default=1,
                    help="rebuild the surrogate's neighbor graph every this "
                         "many steps (Verlet-list amortisation; 1 = per-step "
@@ -61,7 +63,8 @@ def main(argv=None):
 
     model = GraphModel(input_dim=4, gnn_dim=64, message_passing_steps=2,
                        aggr="mean", neighbors=args.neighbors, scale_factor=1e6,
-                       knn_method=args.knn_method, knn_window=args.knn_window)
+                       knn_method=args.knn_method, knn_window=args.knn_window,
+                       knn_impl=args.knn_impl)
     x0 = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
     idx, valid = build_graph(model.graph_spec, x0[..., :3])
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0, idx, valid)
@@ -122,6 +125,7 @@ def main(argv=None):
                     "steps": steps,
                     "knn_method": args.knn_method,
                     "knn_window": args.knn_window,
+                    "knn_impl": args.knn_impl,
                     "device": jax.devices()[0].platform,
                     "results": results,
                 },

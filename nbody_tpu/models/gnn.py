@@ -70,6 +70,8 @@ class GraphModel(nn.Module):
     # surrogate rollouts beat the direct-sum kernel at 20k+ bodies
     knn_window: int = 64  # morton candidate half-window per curve
     knn_impl: Optional[str] = None  # morton backend: None/"xla" | "pallas"
+    knn_copies: int = 4  # morton curve copies (fewer = faster, lower recall)
+    knn_block: int = 256  # morton block rows (pallas: window == block)
 
     @property
     def graph_spec(self):
@@ -78,6 +80,8 @@ class GraphModel(nn.Module):
         spec = {"k": self.neighbors, "include_self": False, "method": method}
         if method == "morton":
             spec["window"] = self.knn_window
+            spec["block"] = self.knn_block
+            spec["n_copies"] = self.knn_copies
             if self.knn_impl:
                 spec["impl"] = self.knn_impl
         return ("knn", spec)

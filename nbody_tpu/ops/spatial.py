@@ -38,6 +38,17 @@ actual galaxy IC distributions (``experiments/knn_recall.py``):
 
 Everything is static-shape, O(N·(B+2W)) work, one payload sort per copy per
 call — jittable, vmappable, and cheap enough to rebuild per rollout step.
+
+Two select/merge backends (``impl=``):
+
+- ``"xla"``: ``lax.map`` over blocks. Portable, but the map is a scan —
+  blocks run *sequentially* and the search is latency-bound at mid N.
+- ``"pallas"``: ONE batched payload sort over all curve copies plus two
+  Pallas grid kernels (windowed select over grid (copy, block) with the
+  left/center/right neighbor blocks as pipelined block inputs; cross-copy
+  dedup merge over row chunks). Candidate ids come from one-hot lane
+  reductions — no gathers in either kernel. Measured ~1.8x the XLA path at
+  20k bodies and ~1.4x at 100k (chained-scan timing on a v5e chip).
 """
 
 from __future__ import annotations

@@ -33,10 +33,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nbody_tpu.models.common import select_input_features
 from nbody_tpu.ops.knn import knn_query
 from nbody_tpu.ops.segment import masked_aggregate
+from nbody_tpu.train.graphs import build_graph
 
 
 def _dense(p, x):
     return x @ p["kernel"] + p["bias"]
+
+
+def _shard_knn(model, pos_l, pos_full, me, shard):
+    """Per-shard neighbor lists against the gathered positions.
+
+    Two regimes, chosen by the model's own ``graph_spec``:
+    - morton: run the O(N·W) curve search *replicated* on the gathered
+      positions (same spec as the single-device forward, so the graph is
+      bit-identical) and slice this shard's rows. Replicated O(N·W) beats the
+      per-shard O(N^2/P) distance matrix from ~(P·W·copies) bodies up —
+      ~3e8 vs 1.25e9 ops at 100k on 8 devices.
+    - exact (default): asymmetric per-shard query, O(N^2/P) per device.
+    """
+    kind, kw = model.graph_spec
+    if kind == "knn" and kw.get("method") == "morton":
+        idx_f, valid_f = build_graph(model.graph_spec, pos_full[None])
+        idx = jax.lax.dynamic_slice_in_dim(idx_f[0], me * shard, shard)
+        valid = jax.lax.dynamic_slice_in_dim(valid_f[0], me * shard, shard)
+        return idx, valid
+    return knn_query(
+        pos_l, pos_full, model.neighbors, q_offset=me * shard,
+        include_self=False,
+    )
 
 
 def _mlp_encoder(params, x):
@@ -80,16 +104,13 @@ def sharded_predict(model, variables, pos, vel, mass, mesh: Mesh,
     n_dev = mesh.shape[axis]
     assert n % n_dev == 0, f"N={n} must divide the {axis!r} axis ({n_dev})"
     shard = n // n_dev
-    k = model.neighbors
 
     def fwd(pos_l, vel_l, mass_l):
         me = jax.lax.axis_index(axis)
         x_l = jnp.concatenate([pos_l, vel_l, mass_l[:, None]], axis=-1)
         x_full = jax.lax.all_gather(x_l, axis, tiled=True)  # (N, 7)
 
-        idx, valid = knn_query(
-            pos_l, x_full[:, :3], k, q_offset=me * shard, include_self=False
-        )
+        idx, valid = _shard_knn(model, pos_l, x_full[:, :3], me, shard)
 
         h_full = select_input_features(x_full, model.input_dim)
         h_l = select_input_features(x_l, model.input_dim)
@@ -123,6 +144,7 @@ def sharded_predict(model, variables, pos, vel, mass, mesh: Mesh,
         jax.shard_map(
             fwd, mesh=mesh,
             in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,  # Pallas morton path runs replicated inside
         )
     )
     sharding = NamedSharding(mesh, spec)
@@ -205,13 +227,23 @@ def sharded_contconv_predict(model, variables, pos, vel, mass, mesh: Mesh,
         x_full = jax.lax.all_gather(x_l, axis, tiled=True)
         pos_full = x_full[:, :3]
 
-        idx, valid = knn_query(
-            pos_l, pos_full, k_max, q_offset=me * shard,
-            include_self=model.self_loops,
-        )
-        d2_sel = jnp.sum((pos_full[idx] - pos_l[:, None, :]) ** 2, axis=-1)
-        valid = valid & (d2_sel < jnp.asarray(model.radius) ** 2)
-        idx = jnp.where(valid, idx, 0)
+        kind, kw = model.graph_spec
+        if kw.get("method") == "morton":
+            # replicated O(N·W) radius search (cutoff applied inside),
+            # sliced to this shard — same spec as the single-device forward
+            idx_f, valid_f = build_graph(model.graph_spec, pos_full[None])
+            idx = jax.lax.dynamic_slice_in_dim(idx_f[0], me * shard, shard)
+            valid = jax.lax.dynamic_slice_in_dim(valid_f[0], me * shard, shard)
+        else:
+            idx, valid = knn_query(
+                pos_l, pos_full, k_max, q_offset=me * shard,
+                include_self=model.self_loops,
+            )
+            d2_sel = jnp.sum(
+                (pos_full[idx] - pos_l[:, None, :]) ** 2, axis=-1
+            )
+            valid = valid & (d2_sel < jnp.asarray(model.radius) ** 2)
+            idx = jnp.where(valid, idx, 0)
 
         h_full = select_input_features(x_full, model.in_channels)
         if model.encoder_hiddens:
@@ -236,7 +268,7 @@ def sharded_contconv_predict(model, variables, pos, vel, mass, mesh: Mesh,
     spec = P(axis)
     fn = jax.jit(
         jax.shard_map(fwd, mesh=mesh, in_specs=(spec, spec, spec),
-                      out_specs=spec)
+                      out_specs=spec, check_vma=False)
     )
     sharding = NamedSharding(mesh, spec)
     return fn(
@@ -260,15 +292,12 @@ def sharded_rollout(model, variables, pos0, vel0, mass, steps: int, dt: float,
     n_dev = mesh.shape[axis]
     assert n % n_dev == 0
     shard = n // n_dev
-    k = model.neighbors
 
     def predict_local(pos_l, vel_l, mass_l):
         me = jax.lax.axis_index(axis)
         x_l = jnp.concatenate([pos_l, vel_l, mass_l[:, None]], axis=-1)
         x_full = jax.lax.all_gather(x_l, axis, tiled=True)
-        idx, valid = knn_query(
-            pos_l, x_full[:, :3], k, q_offset=me * shard, include_self=False
-        )
+        idx, valid = _shard_knn(model, pos_l, x_full[:, :3], me, shard)
         h_full = select_input_features(x_full, model.input_dim)
         h_l = select_input_features(x_l, model.input_dim)
         if model.node_encoder_dims:
@@ -317,6 +346,7 @@ def sharded_rollout(model, variables, pos0, vel0, mass, steps: int, dt: float,
             body, mesh=mesh,
             in_specs=(spec_in, spec_in, spec_in),
             out_specs=(spec_out, spec_out, spec_out),
+            check_vma=False,  # Pallas morton path runs replicated inside
         )
     )
     sharding = NamedSharding(mesh, spec_in)

@@ -109,3 +109,39 @@ def test_sharded_contconv_no_encoder(mesh8):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-7
     )
+
+
+def test_sharded_predict_morton_graph(mesh8):
+    """The morton graph spec routes through the replicated curve search +
+    shard slice (``_shard_knn``); the graph is bit-identical to the
+    single-device build, so the forward must agree exactly."""
+    model = GraphModel(
+        input_dim=4, gnn_dim=16, message_passing_steps=2, aggr="mean",
+        neighbors=5, scale_factor=1e6,
+        knn_method="morton", knn_impl="pallas_interpret",
+    )
+    n = 640  # large enough for the blocked (non-degenerate) morton path
+    pos, vel, mass, variables = _setup(model, n, seed=5)
+    want = predict_accelerations(model, variables, pos, vel, mass)
+    got = sharded_predict(model, variables, pos, vel, mass, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-7
+    )
+
+
+def test_sharded_contconv_morton_graph(mesh8):
+    from nbody_tpu.models import ContinuousConvModel
+    from nbody_tpu.parallel.surrogate import sharded_contconv_predict
+
+    model = ContinuousConvModel(
+        in_channels=4, filter_resolution=(4,), radius=1.0,
+        continuous_conv_layers=1, continuous_conv_dim=8,
+        scale_factor=1e6, radius_kmax=6, self_loops=True,
+        radius_method="morton", radius_impl="pallas_interpret",
+    )
+    pos, vel, mass, variables = _setup(model, 640, seed=6)
+    want = predict_accelerations(model, variables, pos, vel, mass)
+    got = sharded_contconv_predict(model, variables, pos, vel, mass, mesh8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-7
+    )
