@@ -152,6 +152,63 @@ def plot_rollout(base, names, outdir):
     plt.close(fig)
 
 
+def plot_crossover(base, outdir):
+    """Direct-sum vs surrogate step time across N, from the committed
+    crossover artifacts (``results/large_scale/crossover_pallas.json``,
+    falling back to ``crossover.json``). Skipped silently if neither exists.
+
+    Series colors are the Okabe-Ito colorblind-safe triplet in fixed order
+    (direct, surrogate refresh=1, surrogate refresh=8)."""
+    import json
+
+    path = None
+    for name in ("crossover_pallas.json", "crossover.json"):
+        cand = os.path.join(base, "results", "large_scale", name)
+        if os.path.exists(cand):
+            path = cand
+            break
+    if path is None:
+        return
+    with open(path) as f:
+        data = json.load(f)
+    rows = data["rows"]
+
+    series = {}  # mode -> (ns, ms)
+    for r in rows:
+        mode = r["mode"]
+        key = ("direct" if mode == "direct" else
+               "surrogate (refresh=1)" if "refresh=1" in mode else
+               "surrogate (refresh=8)" if "refresh=8" in mode else mode)
+        series.setdefault(key, ([], []))
+        series[key][0].append(r["n"])
+        series[key][1].append(r["ms_per_step"])
+
+    order = ["direct", "surrogate (refresh=1)", "surrogate (refresh=8)"]
+    colors = {"direct": "#0072B2",
+              "surrogate (refresh=1)": "#E69F00",
+              "surrogate (refresh=8)": "#009E73"}
+    fig, ax = plt.subplots(figsize=(6.4, 4.2))
+    for key in order:
+        if key not in series:
+            continue
+        ns, ms = series[key]
+        o = np.argsort(ns)
+        ax.plot(np.asarray(ns)[o], np.asarray(ms)[o], marker="o",
+                markersize=5, linewidth=2, color=colors[key], label=key)
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("bodies")
+    ax.set_ylabel("ms / step")
+    ax.set_title(
+        f"Direct vs surrogate step time (v5e, {data.get('steps', '?')}-step scans)"
+    )
+    ax.grid(True, which="both", alpha=0.25, linewidth=0.5)
+    ax.legend(frameon=False)
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, "crossover.png"), dpi=120)
+    plt.close(fig)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--base", default=".")
@@ -162,6 +219,7 @@ def main(argv=None):
     plot_loss(args.base, args.models, outdir)
     plot_stepwise(args.base, args.models, outdir)
     plot_rollout(args.base, args.models, outdir)
+    plot_crossover(args.base, outdir)
     print(f"figures written to {outdir}")
 
 
