@@ -51,6 +51,8 @@ def main(argv=None):
                    help="morton curve copies (speed/recall tradeoff)")
     p.add_argument("--knn-block", type=int, default=256,
                    help="morton block rows (pallas window == block)")
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable the restructured EdgeConv forward")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -70,7 +72,7 @@ def main(argv=None):
             input_dim=4, gnn_dim=64, message_passing_steps=2, aggr="mean",
             neighbors=args.neighbors, scale_factor=1e6, knn_method="morton",
             knn_impl=args.knn_impl, knn_copies=args.knn_copies,
-            knn_block=args.knn_block,
+            knn_block=args.knn_block, fused_edgeconv=not args.no_fused,
         )
         x0 = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
         idx, valid = build_graph(model.graph_spec, x0[..., :3])

@@ -37,7 +37,15 @@ def _scene_n_bodies(base):
     CSVs (notebook cell 3 reads the ground-truth step_time the same way).
 
     Keyed by (filename, scene) — scene ids restart at 0 in every file, so a
-    scene-only key would silently overwrite across multi-file test dirs."""
+    scene-only key would silently overwrite across multi-file test dirs.
+
+    The mapping is persisted to ``results/scene_info.json`` (a committed
+    artifact) whenever the test CSVs are readable, and read back from there
+    when they are not — the raw ``data/`` dir is gitignored, so a fresh
+    checkout must still be able to regenerate correctly-labelled figures."""
+    import json
+
+    sidecar = os.path.join(base, "results", "scene_info.json")
     out = {}
     for f in sorted(glob(os.path.join(base, "data", "test", "*.csv"))):
         fname = os.path.basename(f)
@@ -47,6 +55,22 @@ def _scene_n_bodies(base):
         times = df.groupby("scene")["step_time"].mean()
         for scene, n in sizes.items():
             out[(fname, int(scene))] = (int(n), float(times.loc[scene]))
+    if out:
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as fh:
+            json.dump(
+                [
+                    {"filename": k[0], "scene": k[1], "n_bodies": v[0],
+                     "step_time": v[1]}
+                    for k, v in sorted(out.items())
+                ],
+                fh, indent=1,
+            )
+    elif os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            for row in json.load(fh):
+                out[(row["filename"], int(row["scene"]))] = (
+                    int(row["n_bodies"]), float(row["step_time"]))
     return out
 
 

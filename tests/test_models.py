@@ -202,3 +202,28 @@ def test_contconv_empty_encoder_hiddens():
     variables = model.init(jax.random.PRNGKey(10), x, idx, valid)
     out = model.apply(variables, x, idx, valid)
     assert out.shape == (1, 10, 3)
+
+
+@pytest.mark.parametrize("aggr", ["mean", "sum"])
+def test_fused_edgeconv_matches_unfused(aggr):
+    """``fused_edgeconv=True`` is a forward restructure, not a different
+    model: identical param tree, same function (rounding-level deltas),
+    including nodes whose neighbor slots are all invalid."""
+    x, _ = _batch()
+    idx, valid = batched_knn_neighbors(x[..., :3], 5)
+    # knock out every neighbor of node 0 in batch 0 to hit the
+    # zero-valid-neighbor path
+    valid = valid.at[0, 0, :].set(False)
+    kwargs = dict(input_dim=4, gnn_dim=32, message_passing_steps=2,
+                  aggr=aggr, neighbors=5, scale_factor=1e6)
+    ref = GraphModel(**kwargs)
+    fused = GraphModel(fused_edgeconv=True, **kwargs)
+    params = ref.init(jax.random.PRNGKey(0), x, idx, valid)
+    # same param tree: fused init must produce the identical structure
+    p2 = fused.init(jax.random.PRNGKey(0), x, idx, valid)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    out_ref = ref.apply(params, x, idx, valid)
+    out_fused = fused.apply(params, x, idx, valid)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), rtol=2e-4, atol=2e-5
+    )
