@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     # Accepted for reference CLI compatibility; placement is JAX's job.
     p.add_argument("--device", type=str, default=None)
     p.add_argument("--force-backend", type=str, default="auto",
-                   choices=["auto", "dense", "pallas"])
+                   choices=["auto", "dense", "pallas", "bh"])
     p.add_argument("--no-npz", action="store_true",
                    help="skip the fast-reload .npz twin")
     p.add_argument("--time-chunks", type=int, default=1,

@@ -34,12 +34,20 @@ class SimulationConfig:
     dt: float = 0.01
     integrator: str = "leapfrog"  # "leapfrog" | "euler"  (simulation.py:153-187)
     calc_energy: bool = True
-    force_backend: str = "auto"  # "dense" | "pallas" | "auto"
+    force_backend: str = "auto"  # "dense" | "pallas" | "bh" | "auto"
+    # "bh" knobs (ops/treeforce.py): exact near-set size, Morton block rows,
+    # and how often the partition (sort + near sets) is rebuilt — forces are
+    # always computed from fresh positions, a stale partition only degrades
+    # which blocks are treated exactly (the surrogate's graph_refresh
+    # economics applied to the classical engine).
+    bh_near: int = 32
+    bh_block: int = 256
+    bh_refresh: int = 1
 
     def __post_init__(self):
         if self.integrator not in INTEGRATORS:
             raise ValueError(f"unknown integrator {self.integrator!r}")
-        if self.force_backend not in ("dense", "pallas", "auto"):
+        if self.force_backend not in ("dense", "pallas", "bh", "auto"):
             raise ValueError(f"unknown force backend {self.force_backend!r}")
 
 
@@ -79,6 +87,15 @@ def make_acc_fn(
         return lambda pos: pallas_accelerations(
             pos, mass, config.g_const, config.softening, mask=mask
         )
+    if backend == "bh":
+        if mask is not None:
+            raise ValueError("force_backend='bh' does not support masks")
+        from nbody_tpu.ops.treeforce import bh_accelerations
+
+        return lambda pos: bh_accelerations(
+            pos, mass, config.g_const, config.softening,
+            n_near=config.bh_near, block=config.bh_block,
+        )
     return lambda pos: forces.pairwise_accelerations(
         pos, mass, config.g_const, config.softening, mask=mask
     )
@@ -93,8 +110,12 @@ def _resolve_backend(config: SimulationConfig, n: int) -> str:
 
 def make_energy_fn(mass, config: SimulationConfig, mask=None, n=None):
     """(pos, vel) -> (U, K); uses the Pallas PE kernel on the same backend
-    decision as the forces (dense/chunked XLA otherwise)."""
+    decision as the forces (dense/chunked XLA otherwise). Energies are always
+    exact — the "bh" force backend has no approximate-energy counterpart, so
+    it maps to the exact kernel of its platform."""
     backend = _resolve_backend(config, n if n is not None else mass.shape[-1])
+    if backend == "bh":
+        backend = "pallas" if jax.default_backend() == "tpu" else "dense"
     if backend == "pallas":
         from nbody_tpu.ops.pairwise import pallas_potential_energy
 
@@ -140,19 +161,47 @@ def simulate(
     step_fn = INTEGRATORS[config.integrator]
     dt = jnp.float32(config.dt)
 
-    def body(carry, _):
-        p, v, a = carry
-        p, v, a = step_fn(p, v, a, acc_fn, dt)
+    def outputs(p, v, a):
         if config.calc_energy:
             u, k = energy_fn(p, v)
         else:
             u = k = jnp.float32(0)
-        return (p, v, a), (p, v, a, u, k)
+        return (p, v, a, u, k)
 
-    acc0 = acc_fn(pos)
-    _, (ps, vs, accs, us, ks) = jax.lax.scan(
-        body, (pos, vel, acc0), None, length=steps
-    )
+    backend = _resolve_backend(config, pos.shape[0])
+    if backend == "bh" and config.bh_refresh > 1:
+        # carry the Morton partition; rebuild it every bh_refresh steps
+        from nbody_tpu.ops.treeforce import (
+            bh_accelerations, build_bh_partition)
+
+        def build(p):
+            return build_bh_partition(
+                p, mass, n_near=config.bh_near, block=config.bh_block)
+
+        def body(carry, i):
+            p, v, a, part = carry
+            part = jax.lax.cond(
+                i % config.bh_refresh == 0, build, lambda _: part, p)
+            bh_fn = lambda q: bh_accelerations(  # noqa: E731
+                q, mass, config.g_const, config.softening, partition=part)
+            p, v, a = step_fn(p, v, a, bh_fn, dt)
+            return (p, v, a, part), outputs(p, v, a)
+
+        part0 = build(pos)
+        acc0 = bh_accelerations(
+            pos, mass, config.g_const, config.softening, partition=part0)
+        _, (ps, vs, accs, us, ks) = jax.lax.scan(
+            body, (pos, vel, acc0, part0), jnp.arange(steps))
+    else:
+        def body(carry, _):
+            p, v, a = carry
+            p, v, a = step_fn(p, v, a, acc_fn, dt)
+            return (p, v, a), outputs(p, v, a)
+
+        acc0 = acc_fn(pos)
+        _, (ps, vs, accs, us, ks) = jax.lax.scan(
+            body, (pos, vel, acc0), None, length=steps
+        )
     if not config.calc_energy:
         us = ks = None
     return Trajectory(ps, vs, accs, us, ks)

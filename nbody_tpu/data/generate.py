@@ -120,6 +120,12 @@ def run_scenario(cfg: ScenarioConfig, key=None, time_chunks: int = 1):
     from nbody_tpu.utils.timing import device_time
 
     if time_chunks <= 1:
+        # pre-warm: compile (and first-dispatch costs) must not be charged
+        # to step_time — the reference's step 0 pays no such cost
+        # (simulation.py:127-129); mirrors the time_chunks>1 branch below
+        from nbody_tpu.utils.timing import fetch_scalar
+
+        fetch_scalar(simulate(pos, vel, mass, cfg.steps, sim_cfg).positions)
         traj, elapsed = device_time(
             lambda: simulate(pos, vel, mass, cfg.steps, sim_cfg)
         )

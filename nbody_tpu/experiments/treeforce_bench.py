@@ -1,0 +1,123 @@
+"""Block-multipole (Barnes-Hut-lite) vs exact direct-sum force timing and
+accuracy — the beyond-parity large-N classical-force artifact
+(``results/large_scale/bh.json``).
+
+For each N: time the exact Pallas all-pairs kernel, the BH force with a
+fresh partition every call, and the BH force under a reused (stale-capable)
+partition — the ``graph_refresh`` economics — plus force accuracy vs exact.
+
+Usage (real TPU):
+    python -m nbody_tpu.experiments.treeforce_bench \
+        --n-bodies 20000 50000 100000 200000 \
+        --out results/large_scale/bh.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.ics import generate_spiral
+from nbody_tpu.ops.pairwise import pallas_accelerations
+from nbody_tpu.ops.treeforce import bh_accelerations, build_bh_partition
+from nbody_tpu.utils.compile_cache import enable_persistent_cache
+from nbody_tpu.utils.timing import device_time, fetch_scalar
+
+G, EPS = 4.5e-6, 0.05
+
+
+def _timed_chain(fn, x0, reps):
+    """Serialized chained timing: feed each output back into the input so
+    XLA cannot hoist the body out of the scan; amortises the RPC floor."""
+
+    @jax.jit
+    def chained(p):
+        def body(c, _):
+            out = fn(c)
+            s = jnp.sum(out).astype(c.dtype)
+            return c * (1 + s * 1e-38), None
+        c, _ = jax.lax.scan(body, p, None, length=reps)
+        return c
+
+    fetch_scalar(chained(x0))  # compile + warm
+    _, el = device_time(lambda: chained(x0))
+    return el / reps
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-bodies", type=int, nargs="+",
+                   default=[20_000, 50_000, 100_000, 200_000])
+    p.add_argument("--n-near", type=int, default=32)
+    p.add_argument("--block", type=int, default=256)
+    p.add_argument("--i-chunk", type=int, default=8)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--exact-cap", type=int, default=100_000,
+                   help="skip the exact timing above this N")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    enable_persistent_cache()
+
+    rows = []
+    for n in args.n_bodies:
+        pos, _, mass = generate_spiral(jax.random.PRNGKey(0), n)
+        fetch_scalar(pos)
+        row = {"n": n, "n_near": args.n_near, "block": args.block}
+
+        if n <= args.exact_cap:
+            el = _timed_chain(
+                lambda p_: pallas_accelerations(p_, mass, G, EPS), pos,
+                args.reps)
+            row["exact_ms"] = el * 1e3
+            exact = pallas_accelerations(pos, mass, G, EPS)
+
+        el = _timed_chain(
+            lambda p_: bh_accelerations(
+                p_, mass, G, EPS, n_near=args.n_near, block=args.block,
+                i_chunk=args.i_chunk), pos, args.reps)
+        row["bh_fresh_ms"] = el * 1e3
+
+        part = build_bh_partition(pos, mass, n_near=args.n_near,
+                                  block=args.block)
+        el = _timed_chain(
+            lambda p_: bh_accelerations(
+                p_, mass, G, EPS, partition=part, i_chunk=args.i_chunk),
+            pos, args.reps)
+        row["bh_reused_ms"] = el * 1e3
+
+        _, el = device_time(lambda: build_bh_partition(
+            pos, mass, n_near=args.n_near, block=args.block))
+        _, el = device_time(lambda: build_bh_partition(
+            pos, mass, n_near=args.n_near, block=args.block))
+        row["partition_ms"] = el * 1e3
+
+        if n <= args.exact_cap:
+            approx = bh_accelerations(
+                pos, mass, G, EPS, n_near=args.n_near, block=args.block,
+                i_chunk=args.i_chunk)
+            err = jnp.linalg.norm(approx - exact, axis=-1)
+            mag = jnp.linalg.norm(exact, axis=-1)
+            rel = err / (mag + 1e-30)
+            row["rel_err_median"] = float(jnp.median(rel))
+            row["rel_err_p99"] = float(jnp.percentile(rel, 99))
+            row["err_over_rms_p99"] = float(
+                jnp.percentile(err / jnp.sqrt(jnp.mean(mag**2)), 99))
+            row["speedup_fresh"] = row["exact_ms"] / row["bh_fresh_ms"]
+            row["speedup_reused"] = row["exact_ms"] / row["bh_reused_ms"]
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"device": jax.devices()[0].platform,
+                       "reps": args.reps, "rows": rows}, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Block-monopole (Barnes-Hut-lite) forces vs the exact direct sum
+(``ops/treeforce.py``; exact anchor: reference ``simulation.py:80-88``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.core.forces import pairwise_accelerations
+from nbody_tpu.ics import generate_disk, generate_spiral
+from nbody_tpu.ops.treeforce import BHPartition, bh_accelerations, build_bh_partition
+
+G, EPS = 4.5e-6, 0.05
+
+
+def _rel_err(approx, exact):
+    num = jnp.linalg.norm(approx - exact, axis=-1)
+    den = jnp.linalg.norm(exact, axis=-1) + 1e-30
+    return float(jnp.median(num / den)), float(jnp.mean(num / den))
+
+
+@pytest.mark.parametrize("gen,med_tol,mean_tol", [
+    (generate_spiral, 1e-2, 5e-2),   # measured: med 3.6e-3, mean 1.8e-2
+    (generate_disk, 5e-4, 5e-3),     # measured: med 3.1e-5, mean 9.0e-5
+])
+def test_bh_close_to_exact_on_galaxies(gen, med_tol, mean_tol):
+    pos, _, mass = gen(jax.random.PRNGKey(0), 3000)
+    exact = pairwise_accelerations(pos, mass, G, EPS)
+    approx = bh_accelerations(pos, mass, G, EPS, n_near=16, block=128)
+    med, mean = _rel_err(approx, exact)
+    assert med < med_tol, med
+    assert mean < mean_tol, mean
+
+
+def test_bh_error_decreases_with_n_near():
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(1), 2000)
+    exact = pairwise_accelerations(pos, mass, G, EPS)
+    errs = []
+    for m in (9, 12, 16):
+        approx = bh_accelerations(pos, mass, G, EPS, n_near=m, block=128)
+        errs.append(_rel_err(approx, exact)[1])
+    assert errs[0] > errs[1] > errs[2], errs
+
+
+def test_bh_exact_when_all_blocks_near():
+    """M >= nb makes the far set empty: the result IS the direct sum."""
+    pos, _, mass = generate_disk(jax.random.PRNGKey(2), 700)
+    exact = pairwise_accelerations(pos, mass, G, EPS)
+    approx = bh_accelerations(pos, mass, G, EPS, n_near=64, block=128)
+    np.testing.assert_allclose(
+        np.asarray(approx), np.asarray(exact), rtol=2e-3, atol=1e-12
+    )
+
+
+def test_bh_stale_partition_still_accurate():
+    """A partition built from slightly drifted positions (the graph_refresh
+    pattern) stays accurate: assignment is stale, physics is fresh."""
+    key = jax.random.PRNGKey(3)
+    pos, vel, mass = generate_spiral(key, 2000)
+    part = build_bh_partition(pos, mass, n_near=12, block=128)
+    drifted = pos + vel * 1e-2  # many dt of drift
+    exact = pairwise_accelerations(drifted, mass, G, EPS)
+    approx = bh_accelerations(drifted, mass, G, EPS, partition=part)
+    med, mean = _rel_err(approx, exact)
+    assert med < 1e-2, med
+    assert mean < 8e-2, mean
+
+
+def test_bh_partition_shapes_and_padding():
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(4), 1000)  # 1000 % 128 != 0
+    part = build_bh_partition(pos, mass, n_near=4, block=128)
+    nb = -(-1000 // 128)
+    assert part.near.shape == (nb, 4)
+    assert part.sorted_gid.shape == (nb * 128,)
+    gid = np.asarray(part.sorted_gid)
+    # every real row appears exactly once; pads carry n
+    assert sorted(gid[gid < 1000].tolist()) == list(range(1000))
+    assert (gid >= 1000).sum() == nb * 128 - 1000
+    # self block always in the near set
+    near = np.asarray(part.near)
+    assert all(i in near[i] for i in range(nb))
+
+
+def test_bh_jit_and_grad_safe():
+    """Usable inside scan/jit pipelines (static n_near/block args only)."""
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(5), 512)
+
+    @jax.jit
+    def f(p):
+        return jnp.sum(bh_accelerations(p, mass, G, EPS, n_near=4, block=128) ** 2)
+
+    v1 = f(pos)
+    assert np.isfinite(float(v1))
+
+
+def test_simulate_bh_backend_tracks_exact():
+    """A short leapfrog rollout under force_backend='bh' (with partition
+    refresh) stays close to the exact dense rollout and keeps total energy
+    drift at leapfrog levels (energies are computed exactly)."""
+    from nbody_tpu.core.simulate import SimulationConfig, simulate
+
+    pos, vel, mass = generate_disk(jax.random.PRNGKey(6), 1500)
+    base = dict(g_const=G, softening=EPS, dt=1e-4, integrator="leapfrog",
+                calc_energy=True)
+    t_ex = simulate(pos, vel, mass, 50,
+                    SimulationConfig(force_backend="dense", **base))
+    t_bh = simulate(pos, vel, mass, 50,
+                    SimulationConfig(force_backend="bh", bh_near=12,
+                                     bh_block=128, bh_refresh=8, **base))
+    d = np.linalg.norm(
+        np.asarray(t_bh.positions[-1]) - np.asarray(t_ex.positions[-1]),
+        axis=-1)
+    scale = float(np.linalg.norm(np.asarray(t_ex.positions[-1]), axis=-1).mean())
+    assert np.max(d) / scale < 1e-4, np.max(d) / scale
+
+    e = np.asarray(t_bh.u_energy) + np.asarray(t_bh.k_energy)
+    assert np.abs(e - e[0]).max() < 1e-3 * abs(e[0])
