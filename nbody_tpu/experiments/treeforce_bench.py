@@ -31,21 +31,18 @@ G, EPS = 4.5e-6, 0.05
 
 
 def _timed_chain(fn, x0, reps):
-    """Serialized chained timing: feed each output back into the input so
-    XLA cannot hoist the body out of the scan; amortises the RPC floor."""
+    """Async-dispatch timing: queue ``reps`` calls and sync once — the
+    device executes launches in order, so the wall time is reps x device
+    time + one RPC, amortising the ~28 ms tunnel sync floor without
+    compiling a separate scan program per config (scan-wrapped variants of
+    these kernels take minutes through the remote-compile tunnel)."""
+    import time
 
-    @jax.jit
-    def chained(p):
-        def body(c, _):
-            out = fn(c)
-            s = jnp.sum(out).astype(c.dtype)
-            return c * (1 + s * 1e-38), None
-        c, _ = jax.lax.scan(body, p, None, length=reps)
-        return c
-
-    fetch_scalar(chained(x0))  # compile + warm
-    _, el = device_time(lambda: chained(x0))
-    return el / reps
+    fetch_scalar(fn(x0))  # compile + warm
+    t0 = time.perf_counter()
+    outs = [fn(x0) for _ in range(reps)]
+    fetch_scalar(outs[-1])
+    return (time.perf_counter() - t0) / reps
 
 
 def main(argv=None):

@@ -54,10 +54,14 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from nbody_tpu.ops.spatial import morton_keys, _select_k
 
 _HI = jax.lax.Precision.HIGHEST
 _ADJ = 4  # structural near-window half-width (see build_bh_partition)
+_D2_FLOOR = 1e-30  # keeps rsqrt finite for padded slots at softening 0
 
 
 class BHPartition(NamedTuple):
@@ -160,7 +164,10 @@ def _multipole_acc(q, com, msum, quad, g, eps2):
     inv3 = inv * inv2
     inv5 = inv3 * inv2
     inv7 = inv5 * inv2
-    qr = jnp.einsum("pkd,kde->pke", r, quad)  # (P, K, 3)
+    # HIGHEST precision: this term must cancel exactly against the near
+    # set's contribution computed elsewhere (kernel or einsum); TPU default
+    # precision would round Q·r to bf16 and leave a large-term residual
+    qr = jnp.einsum("pkd,kde->pke", r, quad, precision=_HI)  # (P, K, 3)
     rqr = jnp.sum(qr * r, axis=-1)  # (P, K)
     acc = (
         -(msum[None, :] * inv3)[..., None] * r
@@ -170,7 +177,108 @@ def _multipole_acc(q, com, msum, quad, g, eps2):
     return g * jnp.sum(acc, axis=1)
 
 
-@partial(jax.jit, static_argnames=("n_near", "block", "i_chunk"))
+def _multipole_kernel(scal_ref, q_ref, blkT_ref, acc_ref):
+    """One (i, k) tile of the monopole+quadrupole far field.
+
+    scal_ref:  SMEM (2,) float32 = [g_const, eps^2]
+    q_ref:     VMEM (TI, 3)  receiver positions
+    blkT_ref:  VMEM (10, TK) block data, lane-major rows:
+               [com_x, com_y, com_z, msum, Qxx, Qyy, Qzz, Qxy, Qxz, Qyz]
+               (zero-msum/zero-Q padding contributes nothing)
+    acc_ref:   VMEM (TI, 3)  accumulated over the k grid dimension
+    """
+    k = pl.program_id(1)
+    g = scal_ref[0]
+    eps2 = scal_ref[1]
+
+    rx = q_ref[:, 0:1] - blkT_ref[0:1, :]  # (TI, TK) r = q - com
+    ry = q_ref[:, 1:2] - blkT_ref[1:2, :]
+    rz = q_ref[:, 2:3] - blkT_ref[2:3, :]
+    m = blkT_ref[3:4, :]
+    qxx, qyy, qzz = blkT_ref[4:5, :], blkT_ref[5:6, :], blkT_ref[6:7, :]
+    qxy, qxz, qyz = blkT_ref[7:8, :], blkT_ref[8:9, :], blkT_ref[9:10, :]
+
+    s2 = rx * rx + ry * ry + rz * rz + eps2
+    inv = jax.lax.rsqrt(jnp.maximum(s2, _D2_FLOOR))
+    inv2 = inv * inv
+    inv3 = inv * inv2
+    inv5 = inv3 * inv2
+    inv7 = inv5 * inv2
+
+    qr_x = qxx * rx + qxy * ry + qxz * rz
+    qr_y = qxy * rx + qyy * ry + qyz * rz
+    qr_z = qxz * rx + qyz * ry + qzz * rz
+    rqr = qr_x * rx + qr_y * ry + qr_z * rz
+
+    cr = -m * inv3 - 2.5 * rqr * inv7  # radial coefficient
+    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=1, keepdims=True)
+    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=1, keepdims=True)
+    az = jnp.sum(cr * rz + inv5 * qr_z, axis=1, keepdims=True)
+    part = g * jnp.concatenate([ax, ay, az], axis=1)  # (TI, 3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + part
+
+
+@partial(jax.jit, static_argnames=("tile_i", "tile_k", "interpret"))
+def pallas_multipole_acc(q, com, msum, quad, g, eps2, tile_i: int = 256,
+                         tile_k: int = 512, interpret: bool = False):
+    """Softened monopole+quadrupole pull of all (com, msum, quad) blocks on
+    rows ``q`` — the Pallas twin of :func:`_multipole_acc` (streamed (TI,TK)
+    tiles; no (P, K, 3) HBM intermediates).
+
+    :param q: (P, 3); :param com: (K, 3); :param msum: (K,);
+    :param quad: (K, 3, 3) symmetric traceless quadrupoles.
+    :return: (P, 3).
+    """
+    p_, k_ = q.shape[0], com.shape[0]
+    ti = min(tile_i, _round_up_tf(p_, 8))
+    tk = min(tile_k, _round_up_tf(k_, 128))
+    p_pad = -(-p_ // ti) * ti
+    k_pad = -(-k_ // tk) * tk
+    if p_pad != p_:
+        q = jnp.pad(q, ((0, p_pad - p_), (0, 0)))
+    blkT = jnp.stack([
+        com[:, 0], com[:, 1], com[:, 2], msum,
+        quad[:, 0, 0], quad[:, 1, 1], quad[:, 2, 2],
+        quad[:, 0, 1], quad[:, 0, 2], quad[:, 1, 2],
+    ])  # (10, K)
+    if k_pad != k_:
+        blkT = jnp.pad(blkT, ((0, 0), (0, k_pad - k_)))
+    scal = jnp.stack([jnp.asarray(g, jnp.float32),
+                      jnp.asarray(eps2, jnp.float32)])
+    out = pl.pallas_call(
+        _multipole_kernel,
+        grid=(p_pad // ti, k_pad // tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ti, 3), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, tk), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ti, 3), lambda i, k: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, 3), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=45 * p_pad * k_pad,
+            bytes_accessed=k_pad * 40 * (p_pad // ti) + p_pad * 12,
+            transcendentals=p_pad * k_pad,
+        ),
+        interpret=interpret,
+    )(scal, q, blkT)
+    return out[:p_]
+
+
+def _round_up_tf(x: int, mlt: int) -> int:
+    return -(-x // mlt) * mlt
+
+
+@partial(jax.jit,
+         static_argnames=("n_near", "block", "i_chunk", "near_impl"))
 def bh_accelerations(
     pos: jax.Array,
     mass: jax.Array,
@@ -180,6 +288,7 @@ def bh_accelerations(
     n_near: int = 16,
     block: int = 256,
     i_chunk: int = 8,
+    near_impl: str = "auto",
 ) -> jax.Array:
     """Approximate softened gravitational accelerations, O(N·(M·B + N/B)).
 
@@ -188,8 +297,15 @@ def bh_accelerations(
         positions.
     :param i_chunk: receiver blocks per ``lax.map`` step (memory knob: the
         (i_chunk·B, M·B) distance tile is the peak intermediate).
+    :param near_impl: exact near-pass backend — "pallas" (the tiled VPU
+        force kernel of ``ops/pairwise.py`` vmapped over receiver blocks;
+        the K=3/N=3 norm-expansion einsums of the XLA path are the measured
+        bottleneck at 100k), "xla", "pallas_interpret" (kernel-on-CPU
+        testing), or "auto" (pallas on TPU, xla elsewhere).
     :return: (N, 3) accelerations.
     """
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     n = pos.shape[0]
     if partition is None:
         partition = build_bh_partition(pos, mass, n_near=n_near, block=block)
@@ -221,49 +337,86 @@ def bh_accelerations(
     cmsum_c = pad0(cmsum).reshape(nc, i_chunk, m)
     cquad_c = pad0(cquad).reshape(nc, i_chunk * m, 3, 3)
 
+    use_pallas = near_impl in ("pallas", "pallas_interpret")
+    interpret = near_impl == "pallas_interpret"
+    if use_pallas:
+        # far field for ALL particles in one streamed kernel launch (no
+        # (P, K, 3) intermediates), outside the chunked near loop
+        far_all = pallas_multipole_acc(
+            spos, com, msum, quad, g, eps2, interpret=interpret
+        ).reshape(nb, b, 3)
+        far_all = jnp.pad(far_all, ((0, pad), (0, 0), (0, 0))).reshape(
+            nc, i_chunk * b, 3)
+
     def chunk_fn(args):
-        q_flat, c, w_m, ncom, nmsum, nquad = args
-        # far field: ALL blocks' multipoles on this chunk's particles
-        far = _multipole_acc(q_flat, com, msum, quad, g, eps2)
+        if use_pallas:
+            q_flat, c, w_m, ncom, nmsum, nquad, far = args
+        else:
+            q_flat, c, w_m, ncom, nmsum, nquad = args
+            # far field: ALL blocks' multipoles on this chunk's particles
+            far = _multipole_acc(q_flat, com, msum, quad, g, eps2)
 
         # near field: exact pairs minus the near blocks' multipoles
         q = q_flat.reshape(i_chunk, b, 3)
-        d2 = (
-            jnp.sum(q * q, axis=-1)[..., None]
-            + jnp.sum(c * c, axis=-1)[:, None, :]
-            - 2.0 * jnp.einsum("ibd,icd->ibc", q, c, precision=_HI)
-        )
-        inv = jax.lax.rsqrt(jnp.maximum(d2, 0.0) + eps2)
-        w = w_m[:, None, :] * (inv * inv * inv)  # (i_chunk, B, M*B)
-        a_exact = g * (
-            jnp.einsum("ibc,icd->ibd", w, c, precision=_HI)
-            - q * jnp.sum(w, axis=-1, keepdims=True)
-        )
+        if use_pallas:
+            from nbody_tpu.ops.pairwise import pallas_partial_accelerations
+
+            # self-pairs need no masking (zero displacement => zero force):
+            # diag_delta beyond every local row-col offset disables the mask
+            a_exact = jax.vmap(
+                lambda qb, cb, mb: pallas_partial_accelerations(
+                    qb, cb, mb, g, jnp.sqrt(eps2),
+                    diag_delta=m * b + b + 1,
+                    interpret=interpret,
+                )
+            )(q, c, w_m)
+        else:
+            d2 = (
+                jnp.sum(q * q, axis=-1)[..., None]
+                + jnp.sum(c * c, axis=-1)[:, None, :]
+                - 2.0 * jnp.einsum("ibd,icd->ibc", q, c, precision=_HI)
+            )
+            inv = jax.lax.rsqrt(jnp.maximum(d2, 0.0) + eps2)
+            w = w_m[:, None, :] * (inv * inv * inv)  # (i_chunk, B, M*B)
+            a_exact = g * (
+                jnp.einsum("ibc,icd->ibd", w, c, precision=_HI)
+                - q * jnp.sum(w, axis=-1, keepdims=True)
+            )
 
         ncom_g = ncom.reshape(i_chunk, m, 3)
         nquad_g = nquad.reshape(i_chunk, m, 3, 3)
-        r = q[:, :, None, :] - ncom_g[:, None, :, :]  # (i_chunk, B, M, 3)
-        s2 = jnp.sum(r * r, axis=-1) + eps2
-        invn = jax.lax.rsqrt(s2)
-        invn2 = invn * invn
-        invn3 = invn * invn2
-        invn5 = invn3 * invn2
-        invn7 = invn5 * invn2
-        qr = jnp.einsum("ibmd,imde->ibme", r, nquad_g)
-        rqr = jnp.sum(qr * r, axis=-1)
-        a_nm = g * jnp.sum(
-            -(nmsum[:, None, :] * invn3)[..., None] * r
-            + invn5[..., None] * qr
-            - (2.5 * rqr * invn7)[..., None] * r,
-            axis=2,
-        )
+        if use_pallas:
+            # same kernel as the far pass: the near blocks' multipoles then
+            # cancel against their far-pass contribution at rounding level
+            a_nm = jax.vmap(
+                lambda qb, cb, mb, Qb: pallas_multipole_acc(
+                    qb, cb, mb, Qb, g, eps2, interpret=interpret)
+            )(q, ncom_g, nmsum, nquad_g)
+        else:
+            r = q[:, :, None, :] - ncom_g[:, None, :, :]  # (i_chunk,B,M,3)
+            s2 = jnp.sum(r * r, axis=-1) + eps2
+            invn = jax.lax.rsqrt(s2)
+            invn2 = invn * invn
+            invn3 = invn * invn2
+            invn5 = invn3 * invn2
+            invn7 = invn5 * invn2
+            qr = jnp.einsum("ibmd,imde->ibme", r, nquad_g, precision=_HI)
+            rqr = jnp.sum(qr * r, axis=-1)
+            a_nm = g * jnp.sum(
+                -(nmsum[:, None, :] * invn3)[..., None] * r
+                + invn5[..., None] * qr
+                - (2.5 * rqr * invn7)[..., None] * r,
+                axis=2,
+            )
         return (far.reshape(i_chunk, b, 3) + a_exact - a_nm).reshape(
             i_chunk * b, 3
         )
 
-    acc = jax.lax.map(
-        chunk_fn, (q_c, cpos_c, cm_c, ccom_c, cmsum_c, cquad_c)
-    ).reshape(nc * i_chunk * b, 3)[: nb * b]
+    xs = (q_c, cpos_c, cm_c, ccom_c, cmsum_c, cquad_c)
+    if use_pallas:
+        xs = xs + (far_all,)
+    acc = jax.lax.map(chunk_fn, xs).reshape(
+        nc * i_chunk * b, 3)[: nb * b]
 
     # back to original row order; pad rows (gid == n) fall off the end
     out = jnp.zeros((n + 1, 3), pos.dtype).at[sg_p].set(acc)

@@ -115,3 +115,19 @@ def test_simulate_bh_backend_tracks_exact():
 
     e = np.asarray(t_bh.u_energy) + np.asarray(t_bh.k_energy)
     assert np.abs(e - e[0]).max() < 1e-3 * abs(e[0])
+
+
+def test_bh_near_impl_pallas_matches_xla():
+    """The Pallas near-pass backend (interpret mode on CPU) computes the
+    same forces as the XLA norm-expansion path."""
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(7), 1200)
+    part = build_bh_partition(pos, mass, n_near=8, block=128)
+    a_x = bh_accelerations(pos, mass, G, EPS, partition=part, i_chunk=2,
+                           near_impl="xla")
+    a_p = bh_accelerations(pos, mass, G, EPS, partition=part, i_chunk=2,
+                           near_impl="pallas_interpret")
+    # the two paths differ by d^2 rounding only: the XLA path's norm
+    # expansion carries ~1e-6 absolute cancellation error in d^2, the
+    # kernel's direct differences do not — so compare at that level
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               rtol=2e-3, atol=5e-9)
