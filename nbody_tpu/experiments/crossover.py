@@ -53,21 +53,44 @@ def main(argv=None):
                    help="morton block rows (pallas window == block)")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the restructured EdgeConv forward")
+    p.add_argument("--bh", action="store_true",
+                   help="also time a Barnes-Hut-lite rollout "
+                        "(force_backend='bh', bh_refresh=8)")
+    p.add_argument("--bh-near", type=int, default=32)
+    p.add_argument("--only", nargs="+", default=None,
+                   choices=["direct", "surrogate", "bh"],
+                   help="restrict to these modes (e.g. --only bh to extend "
+                        "an existing artifact one compile at a time)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
+    modes = set(args.only or ["direct", "surrogate"] + (["bh"] if args.bh
+                                                        else []))
     rows = []
     for n in args.n_bodies:
         pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
         fetch_scalar(pos)
-        cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
-                               calc_energy=False, force_backend="pallas")
-        el = _timed(lambda: simulate(pos, vel, mass, args.steps, cfg))
-        rows.append({"n": n, "mode": "direct",
-                     "ms_per_step": el / args.steps * 1e3,
-                     "psteps_per_s": n * args.steps / el})
-        print(json.dumps(rows[-1]), flush=True)
+        if "direct" in modes:
+            cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
+                                   calc_energy=False, force_backend="pallas")
+            el = _timed(lambda: simulate(pos, vel, mass, args.steps, cfg))
+            rows.append({"n": n, "mode": "direct",
+                         "ms_per_step": el / args.steps * 1e3,
+                         "psteps_per_s": n * args.steps / el})
+            print(json.dumps(rows[-1]), flush=True)
 
+        if "bh" in modes:
+            cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
+                                   calc_energy=False, force_backend="bh",
+                                   bh_near=args.bh_near, bh_refresh=8)
+            el = _timed(lambda: simulate(pos, vel, mass, args.steps, cfg))
+            rows.append({"n": n, "mode": f"bh(M={args.bh_near},refresh=8)",
+                         "ms_per_step": el / args.steps * 1e3,
+                         "psteps_per_s": n * args.steps / el})
+            print(json.dumps(rows[-1]), flush=True)
+
+        if "surrogate" not in modes:
+            continue
         model = GraphModel(
             input_dim=4, gnn_dim=64, message_passing_steps=2, aggr="mean",
             neighbors=args.neighbors, scale_factor=1e6, knn_method="morton",
@@ -90,6 +113,14 @@ def main(argv=None):
 
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        if args.only and os.path.exists(args.out):
+            # extend an existing artifact: new rows replace same (n, mode)
+            with open(args.out) as f:
+                old = json.load(f)
+            fresh = {(r["n"], r["mode"]) for r in rows}
+            rows = [r for r in old["rows"]
+                    if (r["n"], r["mode"]) not in fresh] + rows
+            rows.sort(key=lambda r: (r["n"], r["mode"]))
         with open(args.out, "w") as f:
             json.dump({"device": jax.devices()[0].platform,
                        "steps": args.steps, "rows": rows}, f, indent=1)

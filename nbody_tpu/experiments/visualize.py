@@ -201,14 +201,17 @@ def plot_crossover(base, outdir):
     for r in rows:
         mode = r["mode"]
         key = ("direct" if mode == "direct" else
+               "classical BH" if mode.startswith("bh(") else
                "surrogate (refresh=1)" if "refresh=1" in mode else
                "surrogate (refresh=8)" if "refresh=8" in mode else mode)
         series.setdefault(key, ([], []))
         series[key][0].append(r["n"])
         series[key][1].append(r["ms_per_step"])
 
-    order = ["direct", "surrogate (refresh=1)", "surrogate (refresh=8)"]
+    order = ["direct", "classical BH",
+             "surrogate (refresh=1)", "surrogate (refresh=8)"]
     colors = {"direct": "#0072B2",
+              "classical BH": "#D55E00",
               "surrogate (refresh=1)": "#E69F00",
               "surrogate (refresh=8)": "#009E73"}
     fig, ax = plt.subplots(figsize=(6.4, 4.2))
@@ -224,7 +227,8 @@ def plot_crossover(base, outdir):
     ax.set_xlabel("bodies")
     ax.set_ylabel("ms / step")
     ax.set_title(
-        f"Direct vs surrogate step time (v5e, {data.get('steps', '?')}-step scans)"
+        f"Classical (direct / BH) vs surrogate step time "
+        f"(v5e, {data.get('steps', '?')}-step scans)"
     )
     ax.grid(True, which="both", alpha=0.25, linewidth=0.5)
     ax.legend(frameon=False)
