@@ -310,27 +310,67 @@ def bh_accelerations(
     if partition is None:
         partition = build_bh_partition(pos, mass, n_near=n_near, block=block)
     sg_p, near = partition.sorted_gid, partition.near
-    nb, m = near.shape
+    nb = near.shape[0]
     b = sg_p.shape[0] // nb
-    g = jnp.asarray(g_const, pos.dtype)
-    eps2 = jnp.asarray(softening, pos.dtype) ** 2
 
     spos, sm = _gather_sorted(pos, mass, sg_p)
+    acc = bh_sorted_range_acc(
+        spos, sm, near, g_const, softening, jnp.int32(0), nb,
+        i_chunk=i_chunk, near_impl=near_impl,
+    )
+
+    # back to original row order; pad rows (gid == n) fall off the end
+    out = jnp.zeros((n + 1, 3), pos.dtype).at[sg_p].set(acc)
+    return out[:n]
+
+
+@partial(jax.jit,
+         static_argnames=("nbl", "i_chunk", "near_impl"))
+def bh_sorted_range_acc(
+    spos: jax.Array,
+    sm: jax.Array,
+    near: jax.Array,
+    g_const,
+    softening,
+    blk0,
+    nbl: int,
+    i_chunk: int = 8,
+    near_impl: str = "xla",
+) -> jax.Array:
+    """Accelerations for the ``nbl`` receiver blocks starting at traced
+    block index ``blk0``, in sorted order — the shardable core of
+    :func:`bh_accelerations` (``parallel.bh`` splits receiver blocks across
+    the mesh; every device runs this on the gathered sorted arrays).
+
+    :param spos/sm: (nb*B,) sorted positions/masses (zero-mass pads ok).
+    :param near: (nb, M) near sets for ALL blocks.
+    :return: (nbl*B, 3) accelerations of the receiver range.
+    """
+    nb, m = near.shape
+    b = spos.shape[0] // nb
+    g = jnp.asarray(g_const, spos.dtype)
+    eps2 = jnp.asarray(softening, spos.dtype) ** 2
     blk_pos, blk_m, msum, com, quad = _block_moments(spos, sm, nb, b)
 
-    cpos = blk_pos[near].reshape(nb, m * b, 3)  # (nb, M*B, 3)
-    cm = blk_m[near].reshape(nb, m * b)
-    ccom = com[near]  # (nb, M, 3)
-    cmsum = msum[near]  # (nb, M)
-    cquad = quad[near]  # (nb, M, 3, 3)
+    def rng(x):
+        return jax.lax.dynamic_slice_in_dim(x, blk0, nbl, axis=0)
 
-    nc = -(-nb // i_chunk)
-    pad = nc * i_chunk - nb
+    q_blocks = rng(blk_pos)  # (nbl, B, 3) receiver rows
+    near_r = rng(near)  # (nbl, M)
+
+    cpos = blk_pos[near_r].reshape(nbl, m * b, 3)  # (nbl, M*B, 3)
+    cm = blk_m[near_r].reshape(nbl, m * b)
+    ccom = com[near_r]  # (nbl, M, 3)
+    cmsum = msum[near_r]  # (nbl, M)
+    cquad = quad[near_r]  # (nbl, M, 3, 3)
+
+    nc = -(-nbl // i_chunk)
+    pad = nc * i_chunk - nbl
 
     def pad0(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
-    q_c = pad0(blk_pos).reshape(nc, i_chunk * b, 3)
+    q_c = pad0(q_blocks).reshape(nc, i_chunk * b, 3)
     cpos_c = pad0(cpos).reshape(nc, i_chunk, m * b, 3)
     cm_c = pad0(cm).reshape(nc, i_chunk, m * b)
     ccom_c = pad0(ccom).reshape(nc, i_chunk * m, 3)
@@ -340,11 +380,12 @@ def bh_accelerations(
     use_pallas = near_impl in ("pallas", "pallas_interpret")
     interpret = near_impl == "pallas_interpret"
     if use_pallas:
-        # far field for ALL particles in one streamed kernel launch (no
-        # (P, K, 3) intermediates), outside the chunked near loop
+        # far field for the whole receiver range in one streamed kernel
+        # launch (no (P, K, 3) intermediates), outside the chunked near loop
         far_all = pallas_multipole_acc(
-            spos, com, msum, quad, g, eps2, interpret=interpret
-        ).reshape(nb, b, 3)
+            q_blocks.reshape(nbl * b, 3), com, msum, quad, g, eps2,
+            interpret=interpret,
+        ).reshape(nbl, b, 3)
         far_all = jnp.pad(far_all, ((0, pad), (0, 0), (0, 0))).reshape(
             nc, i_chunk * b, 3)
 
@@ -415,9 +456,5 @@ def bh_accelerations(
     xs = (q_c, cpos_c, cm_c, ccom_c, cmsum_c, cquad_c)
     if use_pallas:
         xs = xs + (far_all,)
-    acc = jax.lax.map(chunk_fn, xs).reshape(
-        nc * i_chunk * b, 3)[: nb * b]
-
-    # back to original row order; pad rows (gid == n) fall off the end
-    out = jnp.zeros((n + 1, 3), pos.dtype).at[sg_p].set(acc)
-    return out[:n]
+    return jax.lax.map(chunk_fn, xs).reshape(
+        nc * i_chunk * b, 3)[: nbl * b]

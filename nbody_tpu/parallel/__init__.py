@@ -1,3 +1,4 @@
+from nbody_tpu.parallel.bh import sharded_bh_accelerations
 from nbody_tpu.parallel.mesh import make_mesh, particle_sharding
 from nbody_tpu.parallel.ring import ring_accelerations, ring_simulate
 from nbody_tpu.parallel.surrogate import (
@@ -11,6 +12,7 @@ __all__ = [
     "particle_sharding",
     "ring_accelerations",
     "ring_simulate",
+    "sharded_bh_accelerations",
     "sharded_contconv_predict",
     "sharded_predict",
     "sharded_rollout",

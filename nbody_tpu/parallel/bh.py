@@ -1,0 +1,116 @@
+"""Particle-sharded Barnes-Hut-lite forces — the approximate classical
+engine (``ops/treeforce.py``) across the device mesh.
+
+Decomposition: the dominant cost is the exact near pass, O(N·M·B), and it
+splits cleanly by *receiver block* — each device computes the near+far
+field for its contiguous range of Morton blocks via
+:func:`ops.treeforce.bh_sorted_range_acc`. Inputs are small (16 B/particle),
+so each device all_gathers the particle state over ICI and keeps the block
+moments replicated (they cost O(nb) ~ KBs); what is sharded is the O(N·M·B)
+compute and the O(N·nb/D) far pass. The sorted per-range results are
+all_gathered (12 B/particle) and unsorted locally.
+
+Memory stays O(N) per device (same as ``parallel.ring``, whose all-pairs
+exchange is also state-replicated per step) — the scaling axis here is
+compute, which is what caps step time at 10^5-10^6 bodies.
+
+Like the single-device backend, the partition may be stale
+(``graph_refresh`` economics); it is built replicated from the gathered
+positions when not supplied.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nbody_tpu.ops.treeforce import (
+    BHPartition,
+    _gather_sorted,
+    bh_sorted_range_acc,
+    build_bh_partition,
+)
+
+
+def sharded_bh_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    g_const: float,
+    softening: float,
+    mesh: Mesh,
+    axis: str = "particles",
+    partition: Optional[BHPartition] = None,
+    n_near: int = 16,
+    block: int = 256,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+) -> jax.Array:
+    """(N, 3) BH accelerations with receiver blocks sharded over ``axis``.
+
+    Matches :func:`ops.treeforce.bh_accelerations` exactly (same partition,
+    same per-block arithmetic — a CPU-mesh test asserts equality); the
+    particle count must be divisible by the mesh axis size.
+    """
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_dev}")
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if partition is not None:
+        nb = partition.n_blocks
+        block = partition.sorted_gid.shape[0] // nb
+    else:
+        nb = -(-n // block)
+    nbp = -(-nb // n_dev)  # receiver blocks per device
+    shard = n // n_dev
+
+    def fwd(pos_l, mass_l, sg_p, near):
+        pall = jax.lax.all_gather(pos_l, axis, tiled=True)
+        mall = jax.lax.all_gather(mass_l, axis, tiled=True)
+        if sg_p is None:
+            part = build_bh_partition(pall, mall, n_near=n_near, block=block)
+            sg_p, near = part.sorted_gid, part.near
+
+        spos, sm = _gather_sorted(pall, mall, sg_p)
+        # pad sorted arrays/near sets so every device owns exactly nbp
+        # receiver blocks; pad blocks are massless and their rows are
+        # dropped after the gather
+        bpad = nbp * n_dev - nb
+        spos_p = jnp.pad(spos, ((0, bpad * block), (0, 0)))
+        sm_p = jnp.pad(sm, (0, bpad * block))
+        near_p = jnp.pad(near, ((0, bpad), (0, 0)))
+
+        me = jax.lax.axis_index(axis)
+        acc_rng = bh_sorted_range_acc(
+            spos_p, sm_p, near_p, g_const, softening,
+            (me * nbp).astype(jnp.int32), nbp,
+            i_chunk=i_chunk, near_impl=near_impl,
+        )  # (nbp*B, 3) my receiver rows, sorted order
+
+        acc_sorted = jax.lax.all_gather(acc_rng, axis, tiled=True)
+        out = jnp.zeros((n + 1, 3), pos_l.dtype).at[sg_p].set(
+            acc_sorted[: nb * block])
+        return jax.lax.dynamic_slice_in_dim(out[:n], me * shard, shard)
+
+    spec = P(axis)
+    sharding = NamedSharding(mesh, spec)
+    pos = jax.device_put(pos, sharding)
+    mass = jax.device_put(mass, sharding)
+    if partition is None:
+        fn = jax.jit(jax.shard_map(
+            lambda p, m_: fwd(p, m_, None, None), mesh=mesh,
+            in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,  # partition/moments run replicated inside
+        ))
+        return fn(pos, mass)
+    fn = jax.jit(jax.shard_map(
+        fwd, mesh=mesh, in_specs=(spec, spec, P(), P()), out_specs=spec,
+        check_vma=False,
+    ))
+    return fn(pos, mass, partition.sorted_gid, partition.near)

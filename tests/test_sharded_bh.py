@@ -1,0 +1,46 @@
+"""Particle-sharded Barnes-Hut forces vs the single-device backend
+(``parallel/bh.py``) on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu.ics import generate_spiral
+from nbody_tpu.ops.treeforce import bh_accelerations, build_bh_partition
+from nbody_tpu.parallel.bh import sharded_bh_accelerations
+
+G, EPS = 4.5e-6, 0.05
+
+
+def test_sharded_bh_matches_single_device(mesh8):
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(0), 2048)
+    a1 = bh_accelerations(pos, mass, G, EPS, n_near=8, block=128,
+                          near_impl="xla")
+    a8 = sharded_bh_accelerations(pos, mass, G, EPS, mesh8,
+                                  n_near=8, block=128, near_impl="xla")
+    np.testing.assert_array_equal(np.asarray(a8), np.asarray(a1))
+
+
+def test_sharded_bh_uneven_blocks(mesh8):
+    """nb = 14 receiver blocks over 8 devices: the block-padding to 16 must
+    not corrupt real rows. Padded far reductions (K=16 with two zero blocks
+    vs K=14) tile differently on the lanes, so equality here is to rounding
+    (measured max 2.3e-10 on ~1e-7 forces), not bitwise."""
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(1), 1792)
+    a1 = bh_accelerations(pos, mass, G, EPS, n_near=6, block=128,
+                          near_impl="xla")
+    a8 = sharded_bh_accelerations(pos, mass, G, EPS, mesh8,
+                                  n_near=6, block=128, near_impl="xla")
+    np.testing.assert_allclose(np.asarray(a8), np.asarray(a1),
+                               rtol=1e-4, atol=1e-9)
+
+
+def test_sharded_bh_reused_partition(mesh8):
+    pos, vel, mass = generate_spiral(jax.random.PRNGKey(2), 2048)
+    part = build_bh_partition(pos, mass, n_near=8, block=128)
+    drifted = pos + vel * 1e-3
+    a1 = bh_accelerations(drifted, mass, G, EPS, partition=part,
+                          near_impl="xla")
+    a8 = sharded_bh_accelerations(drifted, mass, G, EPS, mesh8,
+                                  partition=part, near_impl="xla")
+    np.testing.assert_array_equal(np.asarray(a8), np.asarray(a1))
