@@ -1,0 +1,86 @@
+"""Long-horizon Barnes-Hut rollout evidence: 1000 leapfrog steps at 100k
+bodies with exact start/end energy audit (``results/large_scale/bh_rollout.json``).
+
+The reference's ground-truth engine caps at ~10^4 bodies (dense O(N^2),
+CPU); this demonstrates production-scale classical rollouts on one v5e chip
+with the approximate engine, audited by the *exact* Pallas energy kernels.
+
+Usage (real TPU):
+    python -m nbody_tpu.experiments.bh_rollout --n-bodies 100000 \
+        --steps 1000 --out results/large_scale/bh_rollout.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from nbody_tpu.core.simulate import SimulationConfig, simulate
+from nbody_tpu.ics import generate_spiral
+from nbody_tpu.ops.pairwise import pallas_potential_energy
+from nbody_tpu.core.forces import kinetic_energy
+from nbody_tpu.utils.compile_cache import enable_persistent_cache
+from nbody_tpu.utils.timing import fetch_scalar
+
+G, EPS, DT = 4.5e-6, 0.05, 1e-4
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-bodies", type=int, default=100_000)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--bh-near", type=int, default=32)
+    p.add_argument("--bh-refresh", type=int, default=8)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    enable_persistent_cache()
+
+    pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), args.n_bodies)
+    fetch_scalar(pos)
+
+    def exact_energy(p_, v_):
+        u = pallas_potential_energy(p_, mass, G, EPS)
+        return float(u), float(kinetic_energy(v_, mass))
+
+    u0, k0 = exact_energy(pos, vel)
+    cfg = SimulationConfig(
+        g_const=G, softening=EPS, dt=DT, integrator="leapfrog",
+        calc_energy=False, force_backend="bh", bh_near=args.bh_near,
+        bh_refresh=args.bh_refresh,
+    )
+    # warm compile, then the timed run
+    fetch_scalar(simulate(pos, vel, mass, args.steps, cfg).positions[-1])
+    t0 = time.perf_counter()
+    traj = simulate(pos, vel, mass, args.steps, cfg)
+    fetch_scalar(traj.positions[-1])
+    elapsed = time.perf_counter() - t0
+
+    p_end = traj.positions[-1]
+    v_end = traj.velocities[-1]
+    u1, k1 = exact_energy(p_end, v_end)
+    e0, e1 = u0 + k0, u1 + k1
+    row = {
+        "n": args.n_bodies, "steps": args.steps, "dt": DT,
+        "bh_near": args.bh_near, "bh_refresh": args.bh_refresh,
+        "wall_s": round(elapsed, 3),
+        "ms_per_step": round(elapsed / args.steps * 1e3, 3),
+        "psteps_per_s": args.n_bodies * args.steps / elapsed,
+        "E0": e0, "E1": e1,
+        "rel_energy_drift": abs(e1 - e0) / abs(e0),
+        "device": jax.devices()[0].platform,
+    }
+    print(json.dumps(row), flush=True)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(row, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,23 @@ def test_throw_if_nonfinite_raises():
     throw_if_nonfinite({"a": np.ones(3)}, what="ok tree")  # no raise
     with pytest.raises(JaxRuntimeError):
         throw_if_nonfinite({"a": np.array([1.0, np.nan])}, what="bad tree")
+
+
+def test_datagen_cli_bh_backend(tmp_path):
+    """--force-backend bh generates finite, energy-consistent trajectories
+    (the treecode as a drop-in ground-truth engine for large-N datagen)."""
+    out = str(tmp_path / "bh.csv")
+    datagen_main(
+        [
+            "--integrator", "leapfrog",
+            "--n-bodies", "300",
+            "--output", out,
+            "--steps", "3",
+            "--sim-type", "disk",
+            "--seed", "5",
+            "--force-backend", "bh",
+        ]
+    )
+    df = pd.read_csv(out)
+    assert len(df) == 3 * 300
+    assert np.isfinite(df[["x", "vx", "ax", "u", "k"]].to_numpy()).all()
