@@ -33,10 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Floor keeps rsqrt finite for coincident *padded* slots when softening == 0.
-# (Real coincident pairs with softening == 0 are singular in the reference
-# too; the diagonal is masked explicitly either way.)
-_D2_FLOOR = 1e-30
+# Floor keeps rsqrt(d2)^3 finite for coincident slots when softening == 0:
+# it must be >= ~1e-25 or inv^3 overflows float32 (1e-30 -> 1e15^3 = inf,
+# and inf * 0 displacement = NaN). Matters for callers that disable the
+# diagonal mask and rely on the zero displacement to cancel self-pairs
+# (ops/treeforce.py's near pass). Real coincident distinct pairs with
+# softening == 0 are singular in the reference too — the floor turns that
+# into a huge-but-finite force.
+_D2_FLOOR = 1e-18
 
 
 def _force_kernel(fscal_ref, delta_ref, pos_i_ref, posT_j_ref, massT_j_ref, acc_ref):

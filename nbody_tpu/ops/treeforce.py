@@ -61,7 +61,13 @@ from nbody_tpu.ops.spatial import morton_keys, _select_k
 
 _HI = jax.lax.Precision.HIGHEST
 _ADJ = 4  # structural near-window half-width (see build_bh_partition)
-_D2_FLOOR = 1e-30  # keeps rsqrt finite for padded slots at softening 0
+# Floor under the softened squared distance. At softening == 0 a self-pair
+# (or a particle sitting on a block's COM) hits d2 == 0; the floor must
+# keep every radial power finite in float32 — the quadrupole term uses
+# inv^7, so the floor must satisfy floor^-3.5 < f32 max, i.e. >= ~1e-11.
+# The zero displacement then cancels the (huge but finite) coefficients
+# exactly. No effect at production softening (eps^2 = 2.5e-3 >> floor).
+_D2_FLOOR = 1e-11
 
 
 class BHPartition(NamedTuple):
@@ -159,7 +165,7 @@ def _multipole_acc(q, com, msum, quad, g, eps2):
     """
     r = q[:, None, :] - com[None, :, :]  # (P, K, 3)
     s2 = jnp.sum(r * r, axis=-1) + eps2  # (P, K)
-    inv = jax.lax.rsqrt(s2)
+    inv = jax.lax.rsqrt(jnp.maximum(s2, _D2_FLOOR))
     inv2 = inv * inv
     inv3 = inv * inv2
     inv5 = inv3 * inv2
@@ -234,9 +240,11 @@ def pallas_multipole_acc(q, com, msum, quad, g, eps2, tile_i: int = 256,
     :param quad: (K, 3, 3) symmetric traceless quadrupoles.
     :return: (P, 3).
     """
+    from nbody_tpu.ops.pairwise import _round_up
+
     p_, k_ = q.shape[0], com.shape[0]
-    ti = min(tile_i, _round_up_tf(p_, 8))
-    tk = min(tile_k, _round_up_tf(k_, 128))
+    ti = min(tile_i, _round_up(p_, 8))
+    tk = min(tile_k, _round_up(k_, 128))
     p_pad = -(-p_ // ti) * ti
     k_pad = -(-k_ // tk) * tk
     if p_pad != p_:
@@ -273,10 +281,6 @@ def pallas_multipole_acc(q, com, msum, quad, g, eps2, tile_i: int = 256,
     return out[:p_]
 
 
-def _round_up_tf(x: int, mlt: int) -> int:
-    return -(-x // mlt) * mlt
-
-
 @partial(jax.jit,
          static_argnames=("n_near", "block", "i_chunk", "near_impl"))
 def bh_accelerations(
@@ -311,7 +315,6 @@ def bh_accelerations(
         partition = build_bh_partition(pos, mass, n_near=n_near, block=block)
     sg_p, near = partition.sorted_gid, partition.near
     nb = near.shape[0]
-    b = sg_p.shape[0] // nb
 
     spos, sm = _gather_sorted(pos, mass, sg_p)
     acc = bh_sorted_range_acc(
@@ -358,24 +361,17 @@ def bh_sorted_range_acc(
     q_blocks = rng(blk_pos)  # (nbl, B, 3) receiver rows
     near_r = rng(near)  # (nbl, M)
 
-    cpos = blk_pos[near_r].reshape(nbl, m * b, 3)  # (nbl, M*B, 3)
-    cm = blk_m[near_r].reshape(nbl, m * b)
-    ccom = com[near_r]  # (nbl, M, 3)
-    cmsum = msum[near_r]  # (nbl, M)
-    cquad = quad[near_r]  # (nbl, M, 3, 3)
-
     nc = -(-nbl // i_chunk)
     pad = nc * i_chunk - nbl
 
     def pad0(x):
         return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
 
+    # candidate data is gathered per chunk inside the lax.map below — the
+    # full (nbl, M*B, .) gather would dwarf the documented (i_chunk*B, M*B)
+    # peak intermediate (~200 MB at 1M bodies)
     q_c = pad0(q_blocks).reshape(nc, i_chunk * b, 3)
-    cpos_c = pad0(cpos).reshape(nc, i_chunk, m * b, 3)
-    cm_c = pad0(cm).reshape(nc, i_chunk, m * b)
-    ccom_c = pad0(ccom).reshape(nc, i_chunk * m, 3)
-    cmsum_c = pad0(cmsum).reshape(nc, i_chunk, m)
-    cquad_c = pad0(cquad).reshape(nc, i_chunk * m, 3, 3)
+    near_c = pad0(near_r).reshape(nc, i_chunk, m)
 
     use_pallas = near_impl in ("pallas", "pallas_interpret")
     interpret = near_impl == "pallas_interpret"
@@ -391,11 +387,16 @@ def bh_sorted_range_acc(
 
     def chunk_fn(args):
         if use_pallas:
-            q_flat, c, w_m, ncom, nmsum, nquad, far = args
+            q_flat, nearc, far = args
         else:
-            q_flat, c, w_m, ncom, nmsum, nquad = args
+            q_flat, nearc = args
             # far field: ALL blocks' multipoles on this chunk's particles
             far = _multipole_acc(q_flat, com, msum, quad, g, eps2)
+        c = blk_pos[nearc].reshape(i_chunk, m * b, 3)
+        w_m = blk_m[nearc].reshape(i_chunk, m * b)
+        ncom = com[nearc]  # (i_chunk, M, 3)
+        nmsum = msum[nearc]  # (i_chunk, M)
+        nquad = quad[nearc]  # (i_chunk, M, 3, 3)
 
         # near field: exact pairs minus the near blocks' multipoles
         q = q_flat.reshape(i_chunk, b, 3)
@@ -417,15 +418,16 @@ def bh_sorted_range_acc(
                 + jnp.sum(c * c, axis=-1)[:, None, :]
                 - 2.0 * jnp.einsum("ibd,icd->ibc", q, c, precision=_HI)
             )
-            inv = jax.lax.rsqrt(jnp.maximum(d2, 0.0) + eps2)
+            inv = jax.lax.rsqrt(
+                jnp.maximum(jnp.maximum(d2, 0.0) + eps2, _D2_FLOOR))
             w = w_m[:, None, :] * (inv * inv * inv)  # (i_chunk, B, M*B)
             a_exact = g * (
                 jnp.einsum("ibc,icd->ibd", w, c, precision=_HI)
                 - q * jnp.sum(w, axis=-1, keepdims=True)
             )
 
-        ncom_g = ncom.reshape(i_chunk, m, 3)
-        nquad_g = nquad.reshape(i_chunk, m, 3, 3)
+        ncom_g = ncom
+        nquad_g = nquad
         if use_pallas:
             # same kernel as the far pass: the near blocks' multipoles then
             # cancel against their far-pass contribution at rounding level
@@ -434,26 +436,16 @@ def bh_sorted_range_acc(
                     qb, cb, mb, Qb, g, eps2, interpret=interpret)
             )(q, ncom_g, nmsum, nquad_g)
         else:
-            r = q[:, :, None, :] - ncom_g[:, None, :, :]  # (i_chunk,B,M,3)
-            s2 = jnp.sum(r * r, axis=-1) + eps2
-            invn = jax.lax.rsqrt(s2)
-            invn2 = invn * invn
-            invn3 = invn * invn2
-            invn5 = invn3 * invn2
-            invn7 = invn5 * invn2
-            qr = jnp.einsum("ibmd,imde->ibme", r, nquad_g, precision=_HI)
-            rqr = jnp.sum(qr * r, axis=-1)
-            a_nm = g * jnp.sum(
-                -(nmsum[:, None, :] * invn3)[..., None] * r
-                + invn5[..., None] * qr
-                - (2.5 * rqr * invn7)[..., None] * r,
-                axis=2,
-            )
+            # same arithmetic as the far pass (_multipole_acc) so the near
+            # blocks' contributions cancel at rounding level
+            a_nm = jax.vmap(
+                lambda qb, cb, mb, Qb: _multipole_acc(qb, cb, mb, Qb, g, eps2)
+            )(q, ncom_g, nmsum, nquad_g)
         return (far.reshape(i_chunk, b, 3) + a_exact - a_nm).reshape(
             i_chunk * b, 3
         )
 
-    xs = (q_c, cpos_c, cm_c, ccom_c, cmsum_c, cquad_c)
+    xs = (q_c, near_c)
     if use_pallas:
         xs = xs + (far_all,)
     return jax.lax.map(chunk_fn, xs).reshape(

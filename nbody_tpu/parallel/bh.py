@@ -21,7 +21,7 @@ positions when not supplied.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 from typing import Optional
 
 import jax
@@ -36,37 +36,13 @@ from nbody_tpu.ops.treeforce import (
 )
 
 
-def sharded_bh_accelerations(
-    pos: jax.Array,
-    mass: jax.Array,
-    g_const: float,
-    softening: float,
-    mesh: Mesh,
-    axis: str = "particles",
-    partition: Optional[BHPartition] = None,
-    n_near: int = 16,
-    block: int = 256,
-    i_chunk: int = 8,
-    near_impl: str = "auto",
-) -> jax.Array:
-    """(N, 3) BH accelerations with receiver blocks sharded over ``axis``.
-
-    Matches :func:`ops.treeforce.bh_accelerations` exactly (same partition,
-    same per-block arithmetic — a CPU-mesh test asserts equality); the
-    particle count must be divisible by the mesh axis size.
-    """
-    n = pos.shape[0]
+@lru_cache(maxsize=64)
+def _sharded_fn(mesh, axis, n, nb, block, n_near, i_chunk, near_impl,
+                g_const, softening, with_partition):
+    """Build-and-cache the jitted shard_map program — the closure must NOT
+    be rebuilt per call or every force evaluation retraces and recompiles
+    (measured ~1.5 s/call on the 8-CPU mesh vs ms of actual compute)."""
     n_dev = mesh.shape[axis]
-    if n % n_dev:
-        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_dev}")
-    if near_impl == "auto":
-        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-
-    if partition is not None:
-        nb = partition.n_blocks
-        block = partition.sorted_gid.shape[0] // nb
-    else:
-        nb = -(-n // block)
     nbp = -(-nb // n_dev)  # receiver blocks per device
     shard = n // n_dev
 
@@ -99,18 +75,57 @@ def sharded_bh_accelerations(
         return jax.lax.dynamic_slice_in_dim(out[:n], me * shard, shard)
 
     spec = P(axis)
-    sharding = NamedSharding(mesh, spec)
-    pos = jax.device_put(pos, sharding)
-    mass = jax.device_put(mass, sharding)
-    if partition is None:
-        fn = jax.jit(jax.shard_map(
+    if not with_partition:
+        return jax.jit(jax.shard_map(
             lambda p, m_: fwd(p, m_, None, None), mesh=mesh,
             in_specs=(spec, spec), out_specs=spec,
             check_vma=False,  # partition/moments run replicated inside
         ))
-        return fn(pos, mass)
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         fwd, mesh=mesh, in_specs=(spec, spec, P(), P()), out_specs=spec,
         check_vma=False,
     ))
+
+
+def sharded_bh_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    g_const: float,
+    softening: float,
+    mesh: Mesh,
+    axis: str = "particles",
+    partition: Optional[BHPartition] = None,
+    n_near: int = 16,
+    block: int = 256,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+) -> jax.Array:
+    """(N, 3) BH accelerations with receiver blocks sharded over ``axis``.
+
+    Matches :func:`ops.treeforce.bh_accelerations` exactly (same partition,
+    same per-block arithmetic — a CPU-mesh test asserts equality); the
+    particle count must be divisible by the mesh axis size. The underlying
+    jitted program is cached per (mesh, shapes, knobs), so repeated calls
+    (e.g. one per rollout step) pay tracing/compilation once.
+    """
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_dev}")
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if partition is not None:
+        nb = partition.n_blocks
+        block = partition.sorted_gid.shape[0] // nb
+    else:
+        nb = -(-n // block)
+
+    fn = _sharded_fn(mesh, axis, n, nb, block, n_near, i_chunk, near_impl,
+                     float(g_const), float(softening), partition is not None)
+    sharding = NamedSharding(mesh, P(axis))
+    pos = jax.device_put(pos, sharding)
+    mass = jax.device_put(mass, sharding)
+    if partition is None:
+        return fn(pos, mass)
     return fn(pos, mass, partition.sorted_gid, partition.near)

@@ -44,3 +44,17 @@ def test_sharded_bh_reused_partition(mesh8):
     a8 = sharded_bh_accelerations(drifted, mass, G, EPS, mesh8,
                                   partition=part, near_impl="xla")
     np.testing.assert_array_equal(np.asarray(a8), np.asarray(a1))
+
+
+def test_sharded_bh_program_is_cached(mesh8):
+    """Repeated calls must reuse the jitted shard_map program — rebuilding
+    the closure per call retraces/recompiles every force evaluation."""
+    from nbody_tpu.parallel.bh import _sharded_fn
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(3), 2048)
+    _sharded_fn.cache_clear()
+    for _ in range(3):
+        sharded_bh_accelerations(pos, mass, G, EPS, mesh8,
+                                 n_near=8, block=128, near_impl="xla")
+    info = _sharded_fn.cache_info()
+    assert info.misses == 1 and info.hits == 2, info

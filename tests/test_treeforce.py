@@ -131,3 +131,14 @@ def test_bh_near_impl_pallas_matches_xla():
     # kernel's direct differences do not — so compare at that level
     np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
                                rtol=2e-3, atol=5e-9)
+
+
+def test_bh_finite_at_zero_softening():
+    """Self-pairs rely on the zero displacement cancelling the (floored)
+    kernel — at softening 0 every backend must stay finite (the d2 floor
+    must not let rsqrt^3 overflow float32)."""
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(8), 1000)
+    for impl in ("xla", "pallas_interpret"):
+        a = bh_accelerations(pos, mass, G, 0.0, n_near=8, block=128,
+                             near_impl=impl)
+        assert bool(jnp.isfinite(a).all()), impl
