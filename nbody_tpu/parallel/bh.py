@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from nbody_tpu.ops.treeforce import (
     BHPartition,
     _gather_sorted,
+    _unsort_acc,
     bh_sorted_range_acc,
     build_bh_partition,
 )
@@ -46,21 +47,20 @@ def _sharded_fn(mesh, axis, n, nb, block, n_near, i_chunk, near_impl,
     nbp = -(-nb // n_dev)  # receiver blocks per device
     shard = n // n_dev
 
-    def fwd(pos_l, mass_l, sg_p, near):
+    def fwd(pos_l, mass_l, part):
         pall = jax.lax.all_gather(pos_l, axis, tiled=True)
         mall = jax.lax.all_gather(mass_l, axis, tiled=True)
-        if sg_p is None:
+        if part is None:
             part = build_bh_partition(pall, mall, n_near=n_near, block=block)
-            sg_p, near = part.sorted_gid, part.near
 
-        spos, sm = _gather_sorted(pall, mall, sg_p)
+        spos, sm = _gather_sorted(pall, mall, part)
         # pad sorted arrays/near sets so every device owns exactly nbp
         # receiver blocks; pad blocks are massless and their rows are
         # dropped after the gather
         bpad = nbp * n_dev - nb
         spos_p = jnp.pad(spos, ((0, bpad * block), (0, 0)))
         sm_p = jnp.pad(sm, (0, bpad * block))
-        near_p = jnp.pad(near, ((0, bpad), (0, 0)))
+        near_p = jnp.pad(part.near, ((0, bpad), (0, 0)))
 
         me = jax.lax.axis_index(axis)
         acc_rng = bh_sorted_range_acc(
@@ -70,19 +70,19 @@ def _sharded_fn(mesh, axis, n, nb, block, n_near, i_chunk, near_impl,
         )  # (nbp*B, 3) my receiver rows, sorted order
 
         acc_sorted = jax.lax.all_gather(acc_rng, axis, tiled=True)
-        out = jnp.zeros((n + 1, 3), pos_l.dtype).at[sg_p].set(
-            acc_sorted[: nb * block])
-        return jax.lax.dynamic_slice_in_dim(out[:n], me * shard, shard)
+        acc = _unsort_acc(acc_sorted[: nb * block], part.sorted_gid, n)
+        return jax.lax.dynamic_slice_in_dim(acc, me * shard, shard)
 
     spec = P(axis)
     if not with_partition:
         return jax.jit(jax.shard_map(
-            lambda p, m_: fwd(p, m_, None, None), mesh=mesh,
+            lambda p, m_: fwd(p, m_, None), mesh=mesh,
             in_specs=(spec, spec), out_specs=spec,
             check_vma=False,  # partition/moments run replicated inside
         ))
+    part_spec = BHPartition(P(), P(), P())  # replicated
     return jax.jit(jax.shard_map(
-        fwd, mesh=mesh, in_specs=(spec, spec, P(), P()), out_specs=spec,
+        fwd, mesh=mesh, in_specs=(spec, spec, part_spec), out_specs=spec,
         check_vma=False,
     ))
 
@@ -128,4 +128,4 @@ def sharded_bh_accelerations(
     mass = jax.device_put(mass, sharding)
     if partition is None:
         return fn(pos, mass)
-    return fn(pos, mass, partition.sorted_gid, partition.near)
+    return fn(pos, mass, partition)
