@@ -218,8 +218,12 @@ def run_scenario_group(cfgs: Sequence[ScenarioConfig], keys=None):
         traj = simulate(pos, vel, mass, base.steps, sim_cfg)
         return traj, mass
 
-    from nbody_tpu.utils.timing import device_time
+    from nbody_tpu.utils.timing import device_time, fetch_scalar
 
+    # pre-warm: compile + IC generation must not be charged to step_time
+    # (matches run_scenario's two branches and the reference's step-0
+    # semantics, simulation.py:127-129)
+    fetch_scalar(jax.vmap(one)(keys)[0].positions)
     (trajs, masses), elapsed = device_time(lambda: jax.vmap(one)(keys))
     step_time = elapsed / (base.steps * len(cfgs))
     return [

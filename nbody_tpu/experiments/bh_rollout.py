@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +24,7 @@ from nbody_tpu.ics import generate_spiral
 from nbody_tpu.ops.pairwise import pallas_potential_energy
 from nbody_tpu.core.forces import kinetic_energy
 from nbody_tpu.utils.compile_cache import enable_persistent_cache
-from nbody_tpu.utils.timing import fetch_scalar
+from nbody_tpu.utils.timing import device_time, fetch_scalar
 
 G, EPS, DT = 4.5e-6, 0.05, 1e-4
 
@@ -53,12 +52,11 @@ def main(argv=None):
         calc_energy=False, force_backend="bh", bh_near=args.bh_near,
         bh_refresh=args.bh_refresh,
     )
-    # warm compile, then the timed run
+    # warm compile, then the timed run (device_time closes the region with
+    # a completed readback — see utils.timing)
     fetch_scalar(simulate(pos, vel, mass, args.steps, cfg).positions[-1])
-    t0 = time.perf_counter()
-    traj = simulate(pos, vel, mass, args.steps, cfg)
-    fetch_scalar(traj.positions[-1])
-    elapsed = time.perf_counter() - t0
+    traj, elapsed = device_time(
+        lambda: simulate(pos, vel, mass, args.steps, cfg))
 
     p_end = traj.positions[-1]
     v_end = traj.velocities[-1]
@@ -76,7 +74,7 @@ def main(argv=None):
     }
     print(json.dumps(row), flush=True)
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(row, f, indent=1)
         print(f"wrote {args.out}")

@@ -112,14 +112,25 @@ def main(argv=None):
             print(json.dumps(rows[-1]), flush=True)
 
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         if args.only and os.path.exists(args.out):
-            # extend an existing artifact: new rows replace same (n, mode)
+            # extend an existing artifact: new rows replace same (n, mode);
+            # modes are matched with the knn impl tag stripped so e.g. a
+            # --knn-impl pallas rerun replaces the older xla-tagged rows
+            # instead of coexisting as a duplicate series
+            def _norm(mode):
+                return mode.replace("pallas,", "").replace("xla,", "")
+
             with open(args.out) as f:
                 old = json.load(f)
-            fresh = {(r["n"], r["mode"]) for r in rows}
+            if old.get("steps") != args.steps:
+                raise SystemExit(
+                    f"{args.out} was measured with steps={old.get('steps')}; "
+                    f"rerun with --steps {old.get('steps')} or a fresh --out "
+                    "(mixing scan lengths in one artifact is misleading)")
+            fresh = {(r["n"], _norm(r["mode"])) for r in rows}
             rows = [r for r in old["rows"]
-                    if (r["n"], r["mode"]) not in fresh] + rows
+                    if (r["n"], _norm(r["mode"])) not in fresh] + rows
             rows.sort(key=lambda r: (r["n"], r["mode"]))
         with open(args.out, "w") as f:
             json.dump({"device": jax.devices()[0].platform,

@@ -120,7 +120,7 @@ def main(argv=None):
                     print(json.dumps(rows[-1]))
 
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump({
                 "device": jax.devices()[0].platform,

@@ -117,7 +117,7 @@ def main(argv=None):
     if args.out:
         import os
 
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(
                 {

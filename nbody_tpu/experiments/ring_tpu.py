@@ -102,7 +102,7 @@ def main(argv=None):
             print(json.dumps({"pallas_vs_dense_rel_err": rel}))
 
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {args.out}")

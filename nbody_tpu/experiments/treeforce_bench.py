@@ -86,10 +86,13 @@ def main(argv=None):
             pos, args.reps)
         row["bh_reused_ms"] = el * 1e3
 
-        _, el = device_time(lambda: build_bh_partition(
-            pos, mass, n_near=args.n_near, block=args.block))
-        _, el = device_time(lambda: build_bh_partition(
-            pos, mass, n_near=args.n_near, block=args.block))
+        # same amortized protocol as the force timings so the columns are
+        # comparable (a single device_time call would carry the ~28 ms
+        # tunnel sync floor the others exclude)
+        el = _timed_chain(
+            lambda p_: build_bh_partition(
+                p_, mass, n_near=args.n_near, block=args.block).near,
+            pos, args.reps)
         row["partition_ms"] = el * 1e3
 
         if n <= args.exact_cap:
@@ -109,7 +112,7 @@ def main(argv=None):
         print(json.dumps(row), flush=True)
 
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump({"device": jax.devices()[0].platform,
                        "reps": args.reps, "rows": rows}, f, indent=1)

@@ -56,6 +56,14 @@ def _scene_n_bodies(base):
         for scene, n in sizes.items():
             out[(fname, int(scene))] = (int(n), float(times.loc[scene]))
     if out:
+        # merge with any committed sidecar: a partially-regenerated
+        # data/test dir must not truncate the mapping for files it lacks
+        if os.path.exists(sidecar):
+            with open(sidecar) as fh:
+                for row in json.load(fh):
+                    out.setdefault(
+                        (row["filename"], int(row["scene"])),
+                        (int(row["n_bodies"]), float(row["step_time"])))
         os.makedirs(os.path.dirname(sidecar), exist_ok=True)
         with open(sidecar, "w") as fh:
             json.dump(
@@ -110,17 +118,19 @@ def plot_stepwise(base, names, outdir):
     ]:
         fig, ax = plt.subplots(figsize=(7, 4.5))
         xs = np.arange(len(keys))
-        for i, name in enumerate(names):
+        n_series = 0  # count only series actually plotted — a missing CSV
+        # must not leave an empty bar slot and shift the tick centering
+        for name in names:
             df = _load(base, name, "test_results_stepwise.csv")
             if df is None:
                 continue
             rows = df.set_index(["filename", "scene"])[metric]
             vals = [rows.get(k, np.nan) for k in keys]
-            ax.bar(xs + i * width, vals, width, label=name)
-        n_series = len(names)
+            ax.bar(xs + n_series * width, vals, width, label=name)
+            n_series += 1
         if with_gt and scene_info:
             ax.bar(
-                xs + len(names) * width,
+                xs + n_series * width,
                 [scene_info.get(k, (0, np.nan))[1] for k in keys],
                 width,
                 label="leapfrog (ground truth)",
@@ -197,19 +207,24 @@ def plot_crossover(base, outdir):
         data = json.load(f)
     rows = data["rows"]
 
+    import re
+
     series = {}  # mode -> (ns, ms)
     for r in rows:
         mode = r["mode"]
+        # exact refresh parse — substring tests would fold refresh=16 into
+        # the refresh=1 series
+        m = re.search(r"refresh=(\d+)", mode)
         key = ("direct" if mode == "direct" else
                "classical BH" if mode.startswith("bh(") else
-               "surrogate (refresh=1)" if "refresh=1" in mode else
-               "surrogate (refresh=8)" if "refresh=8" in mode else mode)
+               f"surrogate (refresh={m.group(1)})" if m else mode)
         series.setdefault(key, ([], []))
         series[key][0].append(r["n"])
         series[key][1].append(r["ms_per_step"])
 
-    order = ["direct", "classical BH",
+    known = ["direct", "classical BH",
              "surrogate (refresh=1)", "surrogate (refresh=8)"]
+    order = known + sorted(k for k in series if k not in known)
     colors = {"direct": "#0072B2",
               "classical BH": "#D55E00",
               "surrogate (refresh=1)": "#E69F00",
@@ -221,7 +236,7 @@ def plot_crossover(base, outdir):
         ns, ms = series[key]
         o = np.argsort(ns)
         ax.plot(np.asarray(ns)[o], np.asarray(ms)[o], marker="o",
-                markersize=5, linewidth=2, color=colors[key], label=key)
+                markersize=5, linewidth=2, color=colors.get(key), label=key)
     ax.set_xscale("log")
     ax.set_yscale("log")
     ax.set_xlabel("bodies")

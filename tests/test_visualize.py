@@ -58,3 +58,13 @@ def test_sidecar_written_and_survives_data_deletion(base):
 
 def test_no_data_no_sidecar_is_empty(tmp_path):
     assert _scene_n_bodies(str(tmp_path)) == {}
+
+
+def test_sidecar_merges_with_partial_data(base):
+    """Regenerating only SOME test files must not truncate the committed
+    mapping for the others."""
+    info_full = _scene_n_bodies(base)
+    # drop one file from the raw data dir, keep the other
+    os.remove(os.path.join(base, "data", "test", "output_file_2.csv"))
+    info_partial = _scene_n_bodies(base)
+    assert info_partial == info_full  # file-2 entries came from the sidecar
