@@ -17,7 +17,6 @@ import json
 import os
 
 import jax
-import jax.numpy as jnp
 
 from nbody_tpu.core.simulate import SimulationConfig, simulate
 from nbody_tpu.ics import generate_spiral

@@ -19,7 +19,6 @@ import json
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nbody_tpu.ics import generate_disk, generate_spiral

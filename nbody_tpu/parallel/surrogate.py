@@ -24,7 +24,6 @@ here — the equality test is the guard.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
