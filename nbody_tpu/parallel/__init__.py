@@ -1,4 +1,4 @@
-from nbody_tpu.parallel.bh import sharded_bh_accelerations
+from nbody_tpu.parallel.bh import bh_simulate, sharded_bh_accelerations
 from nbody_tpu.parallel.mesh import make_mesh, particle_sharding
 from nbody_tpu.parallel.ring import ring_accelerations, ring_simulate
 from nbody_tpu.parallel.surrogate import (
@@ -8,6 +8,7 @@ from nbody_tpu.parallel.surrogate import (
 )
 
 __all__ = [
+    "bh_simulate",
     "make_mesh",
     "particle_sharding",
     "ring_accelerations",

@@ -37,6 +37,32 @@ from nbody_tpu.ops.treeforce import (
 )
 
 
+def _force_local(pall, mall, part, axis, n, nb, block, nbp, n_dev, shard,
+                 g_const, softening, i_chunk, near_impl):
+    """Per-device BH force: compute this device's receiver-block range on
+    the (gathered, replicated) state and return the local rows in original
+    order. Shared by the one-shot force wrapper and the scanned rollout."""
+    spos, sm = _gather_sorted(pall, mall, part)
+    # pad sorted arrays/near sets so every device owns exactly nbp
+    # receiver blocks; pad blocks are massless and their rows are
+    # dropped after the gather
+    bpad = nbp * n_dev - nb
+    spos_p = jnp.pad(spos, ((0, bpad * block), (0, 0)))
+    sm_p = jnp.pad(sm, (0, bpad * block))
+    near_p = jnp.pad(part.near, ((0, bpad), (0, 0)))
+
+    me = jax.lax.axis_index(axis)
+    acc_rng = bh_sorted_range_acc(
+        spos_p, sm_p, near_p, g_const, softening,
+        (me * nbp).astype(jnp.int32), nbp,
+        i_chunk=i_chunk, near_impl=near_impl,
+    )  # (nbp*B, 3) my receiver rows, sorted order
+
+    acc_sorted = jax.lax.all_gather(acc_rng, axis, tiled=True)
+    acc = _unsort_acc(acc_sorted[: nb * block], part.sorted_gid, n)
+    return jax.lax.dynamic_slice_in_dim(acc, me * shard, shard)
+
+
 @lru_cache(maxsize=64)
 def _sharded_fn(mesh, axis, n, nb, block, n_near, i_chunk, near_impl,
                 g_const, softening, with_partition):
@@ -52,26 +78,9 @@ def _sharded_fn(mesh, axis, n, nb, block, n_near, i_chunk, near_impl,
         mall = jax.lax.all_gather(mass_l, axis, tiled=True)
         if part is None:
             part = build_bh_partition(pall, mall, n_near=n_near, block=block)
-
-        spos, sm = _gather_sorted(pall, mall, part)
-        # pad sorted arrays/near sets so every device owns exactly nbp
-        # receiver blocks; pad blocks are massless and their rows are
-        # dropped after the gather
-        bpad = nbp * n_dev - nb
-        spos_p = jnp.pad(spos, ((0, bpad * block), (0, 0)))
-        sm_p = jnp.pad(sm, (0, bpad * block))
-        near_p = jnp.pad(part.near, ((0, bpad), (0, 0)))
-
-        me = jax.lax.axis_index(axis)
-        acc_rng = bh_sorted_range_acc(
-            spos_p, sm_p, near_p, g_const, softening,
-            (me * nbp).astype(jnp.int32), nbp,
-            i_chunk=i_chunk, near_impl=near_impl,
-        )  # (nbp*B, 3) my receiver rows, sorted order
-
-        acc_sorted = jax.lax.all_gather(acc_rng, axis, tiled=True)
-        acc = _unsort_acc(acc_sorted[: nb * block], part.sorted_gid, n)
-        return jax.lax.dynamic_slice_in_dim(acc, me * shard, shard)
+        return _force_local(
+            pall, mall, part, axis, n, nb, block, nbp, n_dev, shard,
+            g_const, softening, i_chunk, near_impl)
 
     spec = P(axis)
     if not with_partition:
@@ -129,3 +138,86 @@ def sharded_bh_accelerations(
     if partition is None:
         return fn(pos, mass)
     return fn(pos, mass, partition)
+
+
+@lru_cache(maxsize=32)
+def _bh_simulate_fn(mesh, axis, n, steps, block, n_near, refresh, i_chunk,
+                    near_impl, g_const, softening, dt):
+    n_dev = mesh.shape[axis]
+    nb = -(-n // block)
+    nbp = -(-nb // n_dev)
+    shard = n // n_dev
+    from nbody_tpu.core.integrators import leapfrog_step
+
+    def fwd(pos_l, vel_l, mass_l):
+        mall = jax.lax.all_gather(mass_l, axis, tiled=True)
+
+        def build(p_l):
+            pall = jax.lax.all_gather(p_l, axis, tiled=True)
+            return build_bh_partition(pall, mall, n_near=n_near, block=block)
+
+        def force(p_l, part):
+            pall = jax.lax.all_gather(p_l, axis, tiled=True)
+            return _force_local(
+                pall, mall, part, axis, n, nb, block, nbp, n_dev, shard,
+                g_const, softening, i_chunk, near_impl)
+
+        def body(carry, i):
+            p_l, v_l, a_l, part = carry
+            part = jax.lax.cond(i % refresh == 0, build,
+                                lambda _: part, p_l)
+            p_l, v_l, a_l = leapfrog_step(
+                p_l, v_l, a_l, lambda q: force(q, part), jnp.float32(dt))
+            return (p_l, v_l, a_l, part), None
+
+        part0 = build(pos_l)
+        a0 = force(pos_l, part0)
+        (p_l, v_l, a_l, _), _ = jax.lax.scan(
+            body, (pos_l, vel_l, a0, part0), jnp.arange(steps))
+        return p_l, v_l, a_l
+
+    spec = P(axis)
+    return jax.jit(jax.shard_map(
+        fwd, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,  # partition/moments run replicated inside
+    ))
+
+
+def bh_simulate(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    steps: int,
+    g_const: float,
+    softening: float,
+    dt: float,
+    mesh: Mesh,
+    axis: str = "particles",
+    n_near: int = 32,
+    block: int = 256,
+    refresh: int = 8,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+):
+    """Multi-device Barnes-Hut leapfrog rollout — the approximate-engine
+    twin of :func:`parallel.ring.ring_simulate`: the whole ``steps`` scan
+    runs inside one jitted ``shard_map`` program, the Morton partition is
+    rebuilt from fresh positions every ``refresh`` steps (carried through
+    the scan otherwise), and every step's force uses this device's
+    receiver-block range of :func:`ops.treeforce.bh_sorted_range_acc`.
+
+    :return: final ``(pos, vel, acc)``, each (N, 3) sharded over ``axis``.
+    """
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_dev}")
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    fn = _bh_simulate_fn(mesh, axis, n, steps, block, n_near, refresh,
+                         i_chunk, near_impl, float(g_const),
+                         float(softening), float(dt))
+    sharding = NamedSharding(mesh, P(axis))
+    return fn(jax.device_put(pos, sharding), jax.device_put(vel, sharding),
+              jax.device_put(mass, sharding))

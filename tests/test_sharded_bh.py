@@ -58,3 +58,24 @@ def test_sharded_bh_program_is_cached(mesh8):
                                  n_near=8, block=128, near_impl="xla")
     info = _sharded_fn.cache_info()
     assert info.misses == 1 and info.hits == 2, info
+
+
+def test_bh_simulate_matches_single_device(mesh8):
+    """The scanned multi-device BH rollout tracks simulate's single-device
+    bh path (same partition-refresh schedule; rounding-level equality from
+    the per-device chunk padding)."""
+    from nbody_tpu.core.simulate import SimulationConfig, simulate
+    from nbody_tpu.parallel.bh import bh_simulate
+
+    pos, vel, mass = generate_spiral(jax.random.PRNGKey(5), 2048)
+    cfg = SimulationConfig(g_const=G, softening=EPS, dt=1e-4,
+                           integrator="leapfrog", calc_energy=False,
+                           force_backend="bh", bh_near=8, bh_block=128,
+                           bh_refresh=4)
+    ref = simulate(pos, vel, mass, 10, cfg)
+    p, v, a = bh_simulate(pos, vel, mass, 10, G, EPS, 1e-4, mesh8,
+                          n_near=8, block=128, refresh=4, near_impl="xla")
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref.positions[-1]),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref.velocities[-1]),
+                               rtol=1e-5, atol=1e-8)
