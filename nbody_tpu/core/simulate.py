@@ -180,8 +180,11 @@ def simulate(
 
         def body(carry, i):
             p, v, a, part = carry
+            # i > 0: part0 was just built from these exact positions, so a
+            # rebuild at the first step would be a wasted sort + near pass
             part = jax.lax.cond(
-                i % config.bh_refresh == 0, build, lambda _: part, p)
+                (i % config.bh_refresh == 0) & (i > 0),
+                build, lambda _: part, p)
             bh_fn = lambda q: bh_accelerations(  # noqa: E731
                 q, mass, config.g_const, config.softening, partition=part)
             p, v, a = step_fn(p, v, a, bh_fn, dt)

@@ -120,12 +120,11 @@ def run_scenario(cfg: ScenarioConfig, key=None, time_chunks: int = 1):
     from nbody_tpu.utils.timing import device_time
 
     if time_chunks <= 1:
-        # pre-warm: compile (and first-dispatch costs) must not be charged
-        # to step_time — the reference's step 0 pays no such cost
-        # (simulation.py:127-129); mirrors the time_chunks>1 branch below
-        from nbody_tpu.utils.timing import fetch_scalar
-
-        fetch_scalar(simulate(pos, vel, mass, cfg.steps, sim_cfg).positions)
+        # pre-warm: compile cost must not be charged to step_time — the
+        # reference's step 0 pays no such cost (simulation.py:127-129).
+        # AOT-compile WITHOUT executing (lower().compile() populates the
+        # jit cache), so the scenario runs exactly once.
+        simulate.lower(pos, vel, mass, cfg.steps, sim_cfg).compile()
         traj, elapsed = device_time(
             lambda: simulate(pos, vel, mass, cfg.steps, sim_cfg)
         )
@@ -133,11 +132,10 @@ def run_scenario(cfg: ScenarioConfig, key=None, time_chunks: int = 1):
 
     bounds = np.linspace(0, cfg.steps, time_chunks + 1).astype(int)
     # pre-compile every distinct chunk length so the first timed chunk isn't
-    # charged for compilation (the reference's step 0 pays no such cost)
-    from nbody_tpu.utils.timing import fetch_scalar
-
+    # charged for compilation (the reference's step 0 pays no such cost);
+    # AOT lower().compile() populates the jit cache without executing
     for n_steps in {int(h - l) for l, h in zip(bounds[:-1], bounds[1:]) if h > l}:
-        fetch_scalar(simulate(pos, vel, mass, n_steps, sim_cfg).positions)
+        simulate.lower(pos, vel, mass, n_steps, sim_cfg).compile()
     parts, times = [], np.zeros(cfg.steps)
     p, v = pos, vel
     for lo, hi in zip(bounds[:-1], bounds[1:]):

@@ -429,6 +429,14 @@ def knn_morton(
     n = pos.shape[0]
     k = min(k, n)
     n_copies = min(n_copies, len(_COPIES))
+    if impl in ("pallas", "pallas_interpret") and window != 64:
+        import warnings
+
+        warnings.warn(
+            "knn_morton(impl='pallas') has a structural window (== block); "
+            f"the window={window} argument is ignored — tune `block` instead",
+            stacklevel=2,
+        )
 
     if n <= max(2 * window + 1, 2 * block):
         # Small-N degenerate case: one dense block covers everything.

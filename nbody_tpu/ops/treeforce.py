@@ -64,10 +64,12 @@ _ADJ = 4  # structural near-window half-width (see build_bh_partition)
 # Floor under the softened squared distance. At softening == 0 a self-pair
 # (or a particle sitting on a block's COM) hits d2 == 0; the floor must
 # keep every radial power finite in float32 — the quadrupole term uses
-# inv^7, so the floor must satisfy floor^-3.5 < f32 max, i.e. >= ~1e-11.
+# inv^7, so the floor must satisfy floor^-3.5 < f32 max with real margin
+# (1e-10 gives inv7 ~ 1e35, ~3000x below f32 max; 1e-11 left only ~7%).
 # The zero displacement then cancels the (huge but finite) coefficients
 # exactly. No effect at production softening (eps^2 = 2.5e-3 >> floor).
-_D2_FLOOR = 1e-11
+_D2_FLOOR = 1e-10
+assert _D2_FLOOR ** -3.5 < 3.4e38 / 100, "inv^7 must stay finite in f32"
 
 
 class BHPartition(NamedTuple):

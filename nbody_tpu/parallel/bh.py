@@ -164,7 +164,8 @@ def _bh_simulate_fn(mesh, axis, n, steps, block, n_near, refresh, i_chunk,
 
         def body(carry, i):
             p_l, v_l, a_l, part = carry
-            part = jax.lax.cond(i % refresh == 0, build,
+            # i > 0: part0 was built from these exact positions already
+            part = jax.lax.cond((i % refresh == 0) & (i > 0), build,
                                 lambda _: part, p_l)
             p_l, v_l, a_l = leapfrog_step(
                 p_l, v_l, a_l, lambda q: force(q, part), jnp.float32(dt))

@@ -225,6 +225,16 @@ class Trainer:
                         m = (
                             jnp.arange(x_full.shape[1])[None, :] < nv[:, None]
                         ) & bv[:, None]
+                        if batch_sharding is not None:
+                            # dp: each bucket's sub-batch rides the "data"
+                            # axis (quotas are padded to the axis size in
+                            # _train_group_reference)
+                            x = jax.lax.with_sharding_constraint(
+                                x, batch_sharding)
+                            y = jax.lax.with_sharding_constraint(
+                                y, batch_sharding)
+                            m = jax.lax.with_sharding_constraint(
+                                m, batch_sharding)
                         idx, valid = build_graph(spec, x[..., :3], m)
                         if self._has_bn:
                             pred, mut = model.apply(
@@ -301,7 +311,13 @@ class Trainer:
         )
 
     def _ckpt_tree(self):
-        tree = {"state": self.state, "epoch": np.asarray(self.epoch, np.int64)}
+        tree = {
+            "state": self.state,
+            "epoch": np.asarray(self.epoch, np.int64),
+            # the dropout/shuffle RNG key: without it a resumed run replays
+            # a different stream and train(5)+resume(5) != train(10)
+            "rng": np.asarray(self.rng),
+        }
         if self.scheduler:
             tree["scheduler"] = {
                 k: np.asarray(v, np.float64)
@@ -320,6 +336,7 @@ class Trainer:
             return
         self.state = tree["state"]
         self.epoch = int(tree["epoch"])
+        self.rng = jnp.asarray(tree["rng"])
         if self.scheduler and "scheduler" in tree:
             self.scheduler.load_state_dict(
                 {k: float(v) for k, v in tree["scheduler"].items()}
@@ -421,9 +438,18 @@ class Trainer:
 
         digest = zlib.crc32("|".join(group).encode())
         rng_np = np.random.default_rng(self.epoch * 7919 + digest % 1000)
+        if self.mesh is not None:
+            from nbody_tpu.parallel.mesh import DATA_AXIS
+
+            n_dev = self.mesh.shape[DATA_AXIS]
+        else:
+            n_dev = 1
         sels, valids = [], []
         for s in sizes:
+            # pad each bucket's per-step quota to the dp axis size so the
+            # sharding constraint divides evenly (pad rows are valid=False)
             q = -(-s // steps)
+            q = -(-q // n_dev) * n_dev
             sel = np.zeros((steps, q), np.int32)
             val = np.zeros((steps, q), bool)
             order = rng_np.permutation(s)

@@ -78,6 +78,43 @@ def test_checkpoint_resume(tiny_data, tmp_path):
     assert p1.shape == p2.shape
 
 
+@pytest.mark.parametrize("dropout", [False, True])
+def test_resume_is_bit_exact(tiny_data, tmp_path, dropout):
+    """train(4) == train(2)+resume(2) EXACTLY: the checkpoint carries params,
+    optimizer, scheduler, epoch and the RNG key (a resumed run must replay
+    the same dropout/shuffle stream — train/checkpoint.py docstring)."""
+    train_dir, _ = tiny_data
+
+    def make():
+        kw = dict(input_dim=4, gnn_dim=8, message_passing_steps=1,
+                  aggr="mean", neighbors=4, scale_factor=1e6)
+        if dropout:
+            kw.update(node_encoder_dims=(8,), encoder_dropout=0.3)
+        return GraphModel(**kw)
+
+    def trainer():
+        return Trainer(make(), learning_rate=0.01, dt=DT, seed=0,
+                       scheduler=PlateauScheduler(lr=0.01, factor=0.5,
+                                                  patience=1))
+
+    t_full = trainer()
+    full_losses, _ = t_full.train_from_dir(
+        train_dir, epochs=4, batch_size=8, verbose=False)
+
+    save = str(tmp_path / f"ckpt_dropout_{dropout}")
+    t1 = trainer()
+    t1.train_from_dir(train_dir, epochs=2, batch_size=8, save_every=2,
+                      save_path=save, verbose=False)
+    t2 = trainer()
+    resumed_losses, _ = t2.train_from_dir(
+        train_dir, epochs=2, batch_size=8, save_path=save, verbose=False)
+
+    assert resumed_losses == full_losses[2:]
+    for a, b in zip(jax.tree_util.tree_leaves(t_full.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_plateau_scheduler_matches_torch_semantics():
     s = PlateauScheduler(lr=1.0, factor=0.5, patience=2, threshold=1e-4)
     lrs = []
@@ -163,6 +200,23 @@ def test_data_parallel_training(tiny_data, mesh8):
     )
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_data_parallel_reference_batch_mode(tiny_data, mesh8):
+    """batch_mode="reference" shards its per-bucket sub-batches over the dp
+    axis (quotas padded to the axis size); loss parity with single-device."""
+    train_dir, _ = tiny_data
+    from nbody_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+    single = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    l1, _ = single.train_from_dir(train_dir, epochs=3, batch_size=8,
+                                  verbose=False, batch_mode="reference")
+    mesh = make_mesh(8, axis_names=(DATA_AXIS,))
+    dp = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0, mesh=mesh)
+    l2, _ = dp.train_from_dir(train_dir, epochs=3, batch_size=8,
+                              verbose=False, batch_mode="reference")
+    assert np.isfinite(l2).all()
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
 
 
 def test_merge_files_training(tiny_data):

@@ -91,6 +91,10 @@ def test_bh_jit_and_grad_safe():
 
     v1 = f(pos)
     assert np.isfinite(float(v1))
+    # gradient path: payload sorts + floored rsqrt must differentiate finite
+    g = jax.jit(jax.grad(f))(pos)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.sum(g * g)) > 0.0
 
 
 def test_simulate_bh_backend_tracks_exact():
