@@ -3,7 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from nbody_tpu.ops.hashgrid import hash_grid_neighbors, hash_grid_radius_neighbors
+from attic.hashgrid import hash_grid_neighbors, hash_grid_radius_neighbors
 from nbody_tpu.ops.knn import knn_neighbors
 from nbody_tpu.ops.radius import radius_neighbors
 

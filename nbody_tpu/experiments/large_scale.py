@@ -42,6 +42,14 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--hybrid-warmup", type=int, default=5)
     p.add_argument("--neighbors", type=int, default=10)
+    p.add_argument("--model", default="gnn", choices=["gnn", "contconv"],
+                   help="surrogate family: gnn (GraphModel) or contconv "
+                        "(reference-config ContinuousConvModel, Morton "
+                        "radius search)")
+    p.add_argument("--conv-impl", default=None,
+                   choices=["xla", "pallas", "pallas_interpret"],
+                   help="contconv collect backend (pallas = fused VMEM "
+                        "kernel, ops/contconv_kernel.py)")
     p.add_argument("--modes", nargs="+",
                    default=["direct", "surrogate", "hybrid"])
     p.add_argument("--knn-method", default="morton",
@@ -61,10 +69,26 @@ def main(argv=None):
     n, steps = args.n_bodies, args.steps
     pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
 
-    model = GraphModel(input_dim=4, gnn_dim=64, message_passing_steps=2,
-                       aggr="mean", neighbors=args.neighbors, scale_factor=1e6,
-                       knn_method=args.knn_method, knn_window=args.knn_window,
-                       knn_impl=args.knn_impl)
+    if args.model == "contconv":
+        # Reference ContConv recipe (contconv_experiment.py:62-76) with the
+        # Morton radius search for large N; --conv-impl pallas switches the
+        # per-edge collect onto the fused VMEM kernel.
+        from nbody_tpu.models import ContinuousConvModel
+
+        model = ContinuousConvModel(
+            in_channels=4, out_channels=3, filter_resolution=(6, 4),
+            radius=1.0, agg="mean", self_loops=True,
+            continuous_conv_layers=2, continuous_conv_dim=128,
+            encoder_hiddens=(32, 64), decoder_hiddens=(64, 32),
+            scale_factor=1e6, radius_method="morton",
+            radius_impl=args.knn_impl, conv_impl=args.conv_impl,
+        )
+    else:
+        model = GraphModel(
+            input_dim=4, gnn_dim=64, message_passing_steps=2,
+            aggr="mean", neighbors=args.neighbors, scale_factor=1e6,
+            knn_method=args.knn_method, knn_window=args.knn_window,
+            knn_impl=args.knn_impl)
     x0 = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
     idx, valid = build_graph(model.graph_spec, x0[..., :3])
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0, idx, valid)

@@ -52,13 +52,23 @@ def ball_to_cube(r: jax.Array) -> jax.Array:
 
 
 class ContinuousConv(nn.Module):
-    """One continuous-convolution layer (contconv.py:10-98)."""
+    """One continuous-convolution layer (contconv.py:10-98).
+
+    ``impl`` selects the collect backend: ``None``/"xla" is the
+    collect-then-matmul einsum formulation (differentiable — the training
+    path); "pallas"/"pallas_interpret" is the fused VMEM-resident kernel
+    (``ops/contconv_kernel.py``) that never materialises the (B, N, k, D^3)
+    one-hot or (B, N, D^3, ci) corner-bin HBM intermediates — the rollout
+    path at large N (inference-only: no VJP). Both compute the same
+    function; parity is pinned by
+    tests/test_models.py::test_contconv_fused_kernel_matches_xla."""
 
     in_channels: int
     out_channels: int
     filter_resolution: int = 4
     radius: float = 0.5
     agg: str = "mean"
+    impl: Optional[str] = None  # None/"xla" | "pallas" | "pallas_interpret"
 
     @nn.compact
     def __call__(self, pos, feat, nbr_idx, nbr_valid):
@@ -84,29 +94,46 @@ class ContinuousConv(nn.Module):
 
         mapped = ball_to_cube(r)  # (B, N, k, 3) in (-1, 1)
         grid_coords = (mapped + 1.0) * ((d - 1) / 2.0)  # contconv.py:90
-        cidx, cw = trilinear_corners(grid_coords.reshape(-1, 3), d)
-        cidx = cidx.reshape(b, n, k, 8)
-        cw = cw.reshape(b, n, k, 8)
-
         feat_j = gather_neighbors(feat, nbr_idx)  # (B, N, k, ci)
-        wf = feat_j * window[..., None]  # window applied pre-aggregation
 
-        # Per-edge dense corner-weight row over the D^3 cells, then collect
-        # per-node corner bins G with an MXU einsum. (A scatter-add
-        # formulation measured ~13x slower: TPU scatter-adds serialize.)
-        cells = jnp.arange(d * d * d)
-        oh = jnp.zeros((b, n, k, d * d * d), feat.dtype)
-        for c in range(8):
-            oh = oh + (cidx[..., c, None] == cells) * cw[..., c, None]
-        g = jnp.einsum("bnkz,bnki->bnzi", oh, wf)  # (B, N, D^3, ci)
+        if self.impl in ("pallas", "pallas_interpret") and d >= 2:
+            from nbody_tpu.ops.contconv_kernel import contconv_collect
 
-        # One MXU matmul against the whole filter bank (default precision:
-        # this is a learned layer, bf16-multiply/fp32-accumulate is plenty).
-        out = jnp.einsum(
-            "bnzi,zio->bno",
-            g,
-            filters.reshape(d * d * d, self.in_channels, self.out_channels),
-        )
+            out = contconv_collect(
+                grid_coords.reshape(b * n, k, 3).transpose(2, 0, 1),
+                window.reshape(b * n, k),
+                feat_j.reshape(b * n, k, self.in_channels),
+                filters.reshape(d * d * d, self.in_channels,
+                                self.out_channels),
+                d=d,
+                interpret=self.impl == "pallas_interpret",
+            ).reshape(b, n, self.out_channels)
+        else:
+            cidx, cw = trilinear_corners(grid_coords.reshape(-1, 3), d)
+            cidx = cidx.reshape(b, n, k, 8)
+            cw = cw.reshape(b, n, k, 8)
+            wf = feat_j * window[..., None]  # window pre-aggregation
+
+            # Per-edge dense corner-weight row over the D^3 cells, then
+            # collect per-node corner bins G with an MXU einsum. (A
+            # scatter-add formulation measured ~13x slower: TPU
+            # scatter-adds serialize.)
+            cells = jnp.arange(d * d * d)
+            oh = jnp.zeros((b, n, k, d * d * d), feat.dtype)
+            for c in range(8):
+                oh = oh + (cidx[..., c, None] == cells) * cw[..., c, None]
+            g = jnp.einsum("bnkz,bnki->bnzi", oh, wf)  # (B, N, D^3, ci)
+
+            # One MXU matmul against the whole filter bank (default
+            # precision: this is a learned layer, bf16-multiply /
+            # fp32-accumulate is plenty).
+            out = jnp.einsum(
+                "bnzi,zio->bno",
+                g,
+                filters.reshape(
+                    d * d * d, self.in_channels, self.out_channels
+                ),
+            )
 
         if self.agg == "mean":  # scatter(..., reduce=mean), contconv.py:95-97
             cnt = jnp.sum(in_radius.astype(out.dtype), axis=-1, keepdims=True)
@@ -139,6 +166,9 @@ class ContinuousConvModel(nn.Module):
     zero_init_output: bool = False
     radius_method: Optional[str] = None  # None/"exact" | "morton" (large N)
     radius_impl: Optional[str] = None  # morton backend: "xla" | "pallas"
+    conv_impl: Optional[str] = None  # collect backend: None/"xla" (training,
+    # differentiable) | "pallas"/"pallas_interpret" (fused VMEM kernel,
+    # inference-only — ops/contconv_kernel.py)
 
     @property
     def graph_spec(self):
@@ -196,6 +226,7 @@ class ContinuousConvModel(nn.Module):
                 filter_resolution=resolutions[i],
                 radius=self.radius,
                 agg=self.agg,
+                impl=self.conv_impl,
             )(pos, x, nbr_idx, nbr_valid)
             x = jnp.tanh(x)  # contconv.py:230
             if self.continuous_conv_dropout > 0:

@@ -138,6 +138,29 @@ def test_contconv_layer_matches_gather_oracle(agg):
             np.testing.assert_allclose(out[bb, i], acc, rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.parametrize("agg", ["mean", "sum"])
+@pytest.mark.parametrize("d,ci,co", [(4, 3, 5), (6, 8, 7), (3, 16, 16)])
+def test_contconv_fused_kernel_matches_xla(agg, d, ci, co):
+    """Fused Pallas collect kernel (ops/contconv_kernel.py, interpret mode)
+    == the XLA collect-then-matmul layer, incl. the multi-chunk path
+    (d=6 -> D^3=216 > one 64-cell chunk) and masked/radius-cut edges."""
+    b, n, k, radius = 2, 70, 6, 1.2  # n > tile forces multiple node tiles
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(b, n, ci)).astype(np.float32))
+    idx, valid = batched_radius_neighbors(pos, radius, k_max=k,
+                                          include_self=True)
+
+    kw = dict(in_channels=ci, out_channels=co, filter_resolution=d,
+              radius=radius, agg=agg)
+    layer = ContinuousConv(**kw)
+    params = layer.init(jax.random.PRNGKey(7), pos, feat, idx, valid)
+    want = np.asarray(layer.apply(params, pos, feat, idx, valid))
+    fused = ContinuousConv(**kw, impl="pallas_interpret")
+    got = np.asarray(fused.apply(params, pos, feat, idx, valid))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
 def test_contconv_model_forward():
     x, _ = _batch(b=2, n=15, seed=5)
     model = ContinuousConvModel(
