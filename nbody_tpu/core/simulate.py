@@ -34,7 +34,7 @@ class SimulationConfig:
     dt: float = 0.01
     integrator: str = "leapfrog"  # "leapfrog" | "euler"  (simulation.py:153-187)
     calc_energy: bool = True
-    force_backend: str = "auto"  # "dense" | "pallas" | "bh" | "auto"
+    force_backend: str = "auto"  # "dense" | "pallas" | "bh" | "bh2" | "auto"
     # "bh" knobs (ops/treeforce.py): exact near-set size, Morton block rows,
     # and how often the partition (sort + near sets) is rebuilt — forces are
     # always computed from fresh positions, a stale partition only degrades
@@ -43,11 +43,17 @@ class SimulationConfig:
     bh_near: int = 32
     bh_block: int = 256
     bh_refresh: int = 1
+    # "bh2" adds a coarse far level (ops/treeforce.py two-level engine):
+    # superblocks of bh_coarse fine blocks; bh_rc refined superblocks per
+    # receiver group. Drops the O(N * nb) far term by ~bh_coarse at 1M+.
+    bh_coarse: int = 16
+    bh_rc: int = 12
 
     def __post_init__(self):
         if self.integrator not in INTEGRATORS:
             raise ValueError(f"unknown integrator {self.integrator!r}")
-        if self.force_backend not in ("dense", "pallas", "bh", "auto"):
+        if self.force_backend not in ("dense", "pallas", "bh", "bh2",
+                                      "auto"):
             raise ValueError(f"unknown force backend {self.force_backend!r}")
 
 
@@ -87,9 +93,17 @@ def make_acc_fn(
         return lambda pos: pallas_accelerations(
             pos, mass, config.g_const, config.softening, mask=mask
         )
-    if backend == "bh":
+    if backend in ("bh", "bh2"):
         if mask is not None:
-            raise ValueError("force_backend='bh' does not support masks")
+            raise ValueError(f"force_backend={backend!r} does not support masks")
+        if backend == "bh2":
+            from nbody_tpu.ops.treeforce import bh2_accelerations
+
+            return lambda pos: bh2_accelerations(
+                pos, mass, config.g_const, config.softening,
+                n_near=config.bh_near, block=config.bh_block,
+                coarse=config.bh_coarse, rc=config.bh_rc,
+            )
         from nbody_tpu.ops.treeforce import bh_accelerations
 
         return lambda pos: bh_accelerations(
@@ -114,7 +128,7 @@ def make_energy_fn(mass, config: SimulationConfig, mask=None, n=None):
     exact — the "bh" force backend has no approximate-energy counterpart, so
     it maps to the exact kernel of its platform."""
     backend = _resolve_backend(config, n if n is not None else mass.shape[-1])
-    if backend == "bh":
+    if backend in ("bh", "bh2"):
         backend = "pallas" if jax.default_backend() == "tpu" else "dense"
     if backend == "pallas":
         from nbody_tpu.ops.pairwise import pallas_potential_energy
@@ -169,14 +183,25 @@ def simulate(
         return (p, v, a, u, k)
 
     backend = _resolve_backend(config, pos.shape[0])
-    if backend == "bh" and config.bh_refresh > 1:
+    if backend in ("bh", "bh2") and config.bh_refresh > 1:
         # carry the Morton partition; rebuild it every bh_refresh steps
-        from nbody_tpu.ops.treeforce import (
-            bh_accelerations, build_bh_partition)
+        if backend == "bh2":
+            from nbody_tpu.ops.treeforce import (
+                bh2_accelerations as _bh_acc,
+                build_bh2_partition)
 
-        def build(p):
-            return build_bh_partition(
-                p, mass, n_near=config.bh_near, block=config.bh_block)
+            def build(p):
+                return build_bh2_partition(
+                    p, mass, n_near=config.bh_near, block=config.bh_block,
+                    coarse=config.bh_coarse, rc=config.bh_rc)
+        else:
+            from nbody_tpu.ops.treeforce import (
+                bh_accelerations as _bh_acc,
+                build_bh_partition)
+
+            def build(p):
+                return build_bh_partition(
+                    p, mass, n_near=config.bh_near, block=config.bh_block)
 
         def body(carry, i):
             p, v, a, part = carry
@@ -185,13 +210,13 @@ def simulate(
             part = jax.lax.cond(
                 (i % config.bh_refresh == 0) & (i > 0),
                 build, lambda _: part, p)
-            bh_fn = lambda q: bh_accelerations(  # noqa: E731
+            bh_fn = lambda q: _bh_acc(  # noqa: E731
                 q, mass, config.g_const, config.softening, partition=part)
             p, v, a = step_fn(p, v, a, bh_fn, dt)
             return (p, v, a, part), outputs(p, v, a)
 
         part0 = build(pos)
-        acc0 = bh_accelerations(
+        acc0 = _bh_acc(
             pos, mass, config.g_const, config.softening, partition=part0)
         _, (ps, vs, accs, us, ks) = jax.lax.scan(
             body, (pos, vel, acc0, part0), jnp.arange(steps))

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from nbody_tpu.ics import generate_spiral
 from nbody_tpu.ops.pairwise import pallas_accelerations
-from nbody_tpu.ops.treeforce import bh_accelerations, build_bh_partition
+from nbody_tpu.ops.treeforce import (bh2_accelerations, bh_accelerations,
+                                     build_bh2_partition, build_bh_partition)
 from nbody_tpu.utils.compile_cache import enable_persistent_cache
 from nbody_tpu.utils.timing import device_time, fetch_scalar
 
@@ -52,6 +53,13 @@ def main(argv=None):
     p.add_argument("--n-near", type=int, default=32)
     p.add_argument("--block", type=int, default=256)
     p.add_argument("--i-chunk", type=int, default=8)
+    p.add_argument("--engine", default="bh", choices=["bh", "bh2"],
+                   help="bh2 = two-level coarse far field "
+                        "(O(N*(M*B + N/(C*B) + rc*C)) — the 1M+ engine)")
+    p.add_argument("--coarse", type=int, default=16,
+                   help="bh2: fine blocks per superblock")
+    p.add_argument("--rc", type=int, default=12,
+                   help="bh2: refined superblocks per receiver group")
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--exact-cap", type=int, default=100_000,
                    help="skip the exact timing above this N")
@@ -72,33 +80,57 @@ def main(argv=None):
             row["exact_ms"] = el * 1e3
             exact = pallas_accelerations(pos, mass, G, EPS)
 
-        el = _timed_chain(
-            lambda p_: bh_accelerations(
-                p_, mass, G, EPS, n_near=args.n_near, block=args.block,
-                i_chunk=args.i_chunk), pos, args.reps)
+        if args.engine == "bh2":
+            row.update(coarse=args.coarse, rc=args.rc)
+
+            def fresh(p_):
+                return bh2_accelerations(
+                    p_, mass, G, EPS, n_near=args.n_near, block=args.block,
+                    coarse=args.coarse, rc=args.rc, i_chunk=args.i_chunk)
+
+            part = build_bh2_partition(
+                pos, mass, n_near=args.n_near, block=args.block,
+                coarse=args.coarse, rc=args.rc)
+
+            def reused(p_):
+                return bh2_accelerations(
+                    p_, mass, G, EPS, partition=part, i_chunk=args.i_chunk)
+
+            def build(p_):
+                return build_bh2_partition(
+                    p_, mass, n_near=args.n_near, block=args.block,
+                    coarse=args.coarse, rc=args.rc).near
+        else:
+            def fresh(p_):
+                return bh_accelerations(
+                    p_, mass, G, EPS, n_near=args.n_near, block=args.block,
+                    i_chunk=args.i_chunk)
+
+            part = build_bh_partition(pos, mass, n_near=args.n_near,
+                                      block=args.block)
+
+            def reused(p_):
+                return bh_accelerations(
+                    p_, mass, G, EPS, partition=part, i_chunk=args.i_chunk)
+
+            def build(p_):
+                return build_bh_partition(
+                    p_, mass, n_near=args.n_near, block=args.block).near
+
+        el = _timed_chain(fresh, pos, args.reps)
         row["bh_fresh_ms"] = el * 1e3
 
-        part = build_bh_partition(pos, mass, n_near=args.n_near,
-                                  block=args.block)
-        el = _timed_chain(
-            lambda p_: bh_accelerations(
-                p_, mass, G, EPS, partition=part, i_chunk=args.i_chunk),
-            pos, args.reps)
+        el = _timed_chain(reused, pos, args.reps)
         row["bh_reused_ms"] = el * 1e3
 
         # same amortized protocol as the force timings so the columns are
         # comparable (a single device_time call would carry the ~28 ms
         # tunnel sync floor the others exclude)
-        el = _timed_chain(
-            lambda p_: build_bh_partition(
-                p_, mass, n_near=args.n_near, block=args.block).near,
-            pos, args.reps)
+        el = _timed_chain(build, pos, args.reps)
         row["partition_ms"] = el * 1e3
 
         if n <= args.exact_cap:
-            approx = bh_accelerations(
-                pos, mass, G, EPS, n_near=args.n_near, block=args.block,
-                i_chunk=args.i_chunk)
+            approx = fresh(pos)
             err = jnp.linalg.norm(approx - exact, axis=-1)
             mag = jnp.linalg.norm(exact, axis=-1)
             rel = err / (mag + 1e-30)

@@ -5,8 +5,8 @@ reference ``datautils.py:36`` / ``contconv.py:225`` at 100k-body scale).
 The exact streamed search (``ops/knn.py``) is O(N^2) distances: ~1 s for
 kNN(10) at 100k bodies on a v5e chip — slower than the direct-sum force
 kernel itself, so surrogates had no large-N reason to exist. The grid-hash
-(``ops/hashgrid.py``) needs quasi-uniform density and fails on clustered
-galaxy profiles.
+(retired to ``attic/hashgrid.py`` with its measurements) needs
+quasi-uniform density and fails on clustered galaxy profiles.
 
 This module is the adaptive replacement: sort particles along Morton
 (Z-order) curves and take each particle's candidates from a window of its

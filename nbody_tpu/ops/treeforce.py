@@ -423,61 +423,456 @@ def bh_sorted_range_acc(
             q_flat, nearc = args
             # far field: ALL blocks' multipoles on this chunk's particles
             far = _multipole_acc(q_flat, com, msum, quad, g, eps2)
-        c = blk_pos[nearc].reshape(i_chunk, m * b, 3)
-        w_m = blk_m[nearc].reshape(i_chunk, m * b)
-        ncom = com[nearc]  # (i_chunk, M, 3)
-        nmsum = msum[nearc]  # (i_chunk, M)
-        nquad = quad[nearc]  # (i_chunk, M, 3, 3)
-
-        # near field: exact pairs minus the near blocks' multipoles
-        q = q_flat.reshape(i_chunk, b, 3)
-        if use_pallas:
-            from nbody_tpu.ops.pairwise import pallas_partial_accelerations
-
-            # self-pairs need no masking (zero displacement => zero force):
-            # diag_delta beyond every local row-col offset disables the mask
-            a_exact = jax.vmap(
-                lambda qb, cb, mb: pallas_partial_accelerations(
-                    qb, cb, mb, g, jnp.sqrt(eps2),
-                    diag_delta=m * b + b + 1,
-                    interpret=interpret,
-                )
-            )(q, c, w_m)
-        else:
-            d2 = (
-                jnp.sum(q * q, axis=-1)[..., None]
-                + jnp.sum(c * c, axis=-1)[:, None, :]
-                - 2.0 * jnp.einsum("ibd,icd->ibc", q, c, precision=_HI)
-            )
-            inv = jax.lax.rsqrt(
-                jnp.maximum(jnp.maximum(d2, 0.0) + eps2, _D2_FLOOR))
-            w = w_m[:, None, :] * (inv * inv * inv)  # (i_chunk, B, M*B)
-            a_exact = g * (
-                jnp.einsum("ibc,icd->ibd", w, c, precision=_HI)
-                - q * jnp.sum(w, axis=-1, keepdims=True)
-            )
-
-        ncom_g = ncom
-        nquad_g = nquad
-        if use_pallas:
-            # same kernel as the far pass: the near blocks' multipoles then
-            # cancel against their far-pass contribution at rounding level
-            a_nm = jax.vmap(
-                lambda qb, cb, mb, Qb: pallas_multipole_acc(
-                    qb, cb, mb, Qb, g, eps2, interpret=interpret)
-            )(q, ncom_g, nmsum, nquad_g)
-        else:
-            # same arithmetic as the far pass (_multipole_acc) so the near
-            # blocks' contributions cancel at rounding level
-            a_nm = jax.vmap(
-                lambda qb, cb, mb, Qb: _multipole_acc(qb, cb, mb, Qb, g, eps2)
-            )(q, ncom_g, nmsum, nquad_g)
-        return (far.reshape(i_chunk, b, 3) + a_exact - a_nm).reshape(
-            i_chunk * b, 3
+        near_terms = _near_chunk(
+            q_flat, nearc, blk_pos, blk_m, com, msum, quad, g, eps2,
+            use_pallas, interpret,
         )
+        return far + near_terms
 
     xs = (q_c, near_c)
     if use_pallas:
         xs = xs + (far_all,)
     return jax.lax.map(chunk_fn, xs).reshape(
         nc * i_chunk * b, 3)[: nbl * b]
+
+
+def _near_chunk(q_flat, nearc, blk_pos, blk_m, com, msum, quad, g, eps2,
+                use_pallas, interpret):
+    """``exact(near) - multipole(near)`` for one receiver chunk.
+
+    :param q_flat: (i_chunk*B, 3) receiver rows; :param nearc: (i_chunk, M)
+        near-set block ids. Shared by the one- and two-level engines — the
+    near blocks' multipole term uses the SAME kernel/arithmetic as the far
+    pass so the two contributions cancel at rounding level.
+    :return: (i_chunk*B, 3).
+    """
+    i_chunk, m = nearc.shape
+    b = blk_pos.shape[1]
+    c = blk_pos[nearc].reshape(i_chunk, m * b, 3)
+    w_m = blk_m[nearc].reshape(i_chunk, m * b)
+    ncom = com[nearc]  # (i_chunk, M, 3)
+    nmsum = msum[nearc]  # (i_chunk, M)
+    nquad = quad[nearc]  # (i_chunk, M, 3, 3)
+
+    q = q_flat.reshape(i_chunk, b, 3)
+    if use_pallas:
+        from nbody_tpu.ops.pairwise import pallas_partial_accelerations
+
+        # self-pairs need no masking (zero displacement => zero force):
+        # diag_delta beyond every local row-col offset disables the mask
+        a_exact = jax.vmap(
+            lambda qb, cb, mb: pallas_partial_accelerations(
+                qb, cb, mb, g, jnp.sqrt(eps2),
+                diag_delta=m * b + b + 1,
+                interpret=interpret,
+            )
+        )(q, c, w_m)
+        a_nm = jax.vmap(
+            lambda qb, cb, mb, Qb: pallas_multipole_acc(
+                qb, cb, mb, Qb, g, eps2, interpret=interpret)
+        )(q, ncom, nmsum, nquad)
+    else:
+        d2 = (
+            jnp.sum(q * q, axis=-1)[..., None]
+            + jnp.sum(c * c, axis=-1)[:, None, :]
+            - 2.0 * jnp.einsum("ibd,icd->ibc", q, c, precision=_HI)
+        )
+        inv = jax.lax.rsqrt(
+            jnp.maximum(jnp.maximum(d2, 0.0) + eps2, _D2_FLOOR))
+        w = w_m[:, None, :] * (inv * inv * inv)  # (i_chunk, B, M*B)
+        a_exact = g * (
+            jnp.einsum("ibc,icd->ibd", w, c, precision=_HI)
+            - q * jnp.sum(w, axis=-1, keepdims=True)
+        )
+        a_nm = jax.vmap(
+            lambda qb, cb, mb, Qb: _multipole_acc(qb, cb, mb, Qb, g, eps2)
+        )(q, ncom, nmsum, nquad)
+    return (a_exact - a_nm).reshape(i_chunk * b, 3)
+
+
+# ---------------------------------------------------------------------------
+# Two-level ("coarse") far field — the 1M+ engine.
+#
+# The one-level far pass above is O(N * nb) = O(N^2 / B); at 1M bodies it
+# dominates the force eval. Here Morton blocks are additionally grouped into
+# superblocks of ``coarse`` consecutive blocks (contiguous in curve order, so
+# coarse structures are SLICES — the gather-free shape recorded after round
+# 2's reverted FMM-lite attempt). Each coarse group carries its own
+# monopole+quadrupole moments computed directly from its particles, and each
+# group of receivers owns a REFINED set of ``rc`` coarse groups — chosen by
+# the same worst-separation opening criterion used for the fine near sets,
+# one level up, with the +-w structural curve window forced. Then
+#
+#   acc = coarse_far(ALL superblocks)
+#       - coarse_mult(refined superblocks)        } telescoped refinement
+#       + fine_far(their member fine blocks)      }
+#       + exact(near) - fine_mult(near)             (unchanged near pass)
+#
+# Exact telescoping requires every near block to be fine-refined for its
+# receivers, so the fine near selection is RESTRICTED to blocks whose parent
+# superblock is in the receiver's refined set ("forced parent inclusion" by
+# construction). The structural +-_ADJ fine window always qualifies because
+# coarse >= _ADJ and w >= 1 bound its parent distance by 1.
+#
+# Cost: O(N * (M*B + N/(C*B) + rc*C + rc)) — the fine far shrinks from nb
+# to rc*C evaluated blocks plus nb/C coarse ones (~20x fewer multipole
+# evaluations at 1M with the defaults).
+# ---------------------------------------------------------------------------
+
+
+class BH2Partition(NamedTuple):
+    """Two-level Morton partition: the fine fields of :class:`BHPartition`
+    (with the near sets restricted to refined regions) plus the per-group
+    refined superblock sets.
+
+    :param refined: (nbc, rc) int32 — coarse group ids whose member fine
+        blocks are evaluated at fine level for this group's receivers.
+    """
+
+    sorted_gid: jax.Array
+    near: jax.Array
+    inv_rank: jax.Array
+    refined: jax.Array
+
+    @property
+    def base(self) -> BHPartition:
+        return BHPartition(self.sorted_gid, self.near, self.inv_rank)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.near.shape[0]
+
+
+def _grouped_multipole_kernel(scal_ref, q_ref, blkT_ref, acc_ref):
+    """One (g, i, k) tile of the per-group multipole field: group g's
+    receiver tile against group g's own (10, TK) block slice. Same
+    arithmetic as :func:`_multipole_kernel`."""
+    k = pl.program_id(2)
+    g = scal_ref[0]
+    eps2 = scal_ref[1]
+    q = q_ref[0]
+    blkT = blkT_ref[0]
+
+    rx = q[:, 0:1] - blkT[0:1, :]
+    ry = q[:, 1:2] - blkT[1:2, :]
+    rz = q[:, 2:3] - blkT[2:3, :]
+    m = blkT[3:4, :]
+    qxx, qyy, qzz = blkT[4:5, :], blkT[5:6, :], blkT[6:7, :]
+    qxy, qxz, qyz = blkT[7:8, :], blkT[8:9, :], blkT[9:10, :]
+
+    s2 = rx * rx + ry * ry + rz * rz + eps2
+    inv = jax.lax.rsqrt(jnp.maximum(s2, _D2_FLOOR))
+    inv2 = inv * inv
+    inv3 = inv * inv2
+    inv5 = inv3 * inv2
+    inv7 = inv5 * inv2
+
+    qr_x = qxx * rx + qxy * ry + qxz * rz
+    qr_y = qxy * rx + qyy * ry + qyz * rz
+    qr_z = qxz * rx + qyz * ry + qzz * rz
+    rqr = qr_x * rx + qr_y * ry + qr_z * rz
+
+    cr = -m * inv3 - 2.5 * rqr * inv7
+    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=1, keepdims=True)
+    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=1, keepdims=True)
+    az = jnp.sum(cr * rz + inv5 * qr_z, axis=1, keepdims=True)
+    part = g * jnp.concatenate([ax, ay, az], axis=1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
+
+    acc_ref[0] = acc_ref[0] + part
+
+
+@partial(jax.jit, static_argnames=("tile_i", "tile_k", "interpret"))
+def pallas_grouped_multipole_acc(qg, blkTg, g, eps2, tile_i: int = 512,
+                                 tile_k: int = 512, interpret: bool = False):
+    """Per-group multipole pull: group i's receivers see ONLY group i's
+    block list — one kernel launch for all groups (grid (G, nI, nK)), the
+    fix for the reverted two-level attempt's ~G tiny-launch overhead.
+
+    :param qg: (G, P, 3) grouped receiver rows.
+    :param blkTg: (G, 10, K) grouped lane-major block data (rows as in
+        :func:`_multipole_kernel`; zero-mass/zero-Q padding is inert).
+    :return: (G, P, 3).
+    """
+    from nbody_tpu.ops.pairwise import _round_up
+
+    ng, p_, _ = qg.shape
+    k_ = blkTg.shape[2]
+    ti = min(tile_i, _round_up(p_, 8))
+    tk = min(tile_k, _round_up(k_, 128))
+    p_pad = -(-p_ // ti) * ti
+    k_pad = -(-k_ // tk) * tk
+    if p_pad != p_:
+        qg = jnp.pad(qg, ((0, 0), (0, p_pad - p_), (0, 0)))
+    if k_pad != k_:
+        blkTg = jnp.pad(blkTg, ((0, 0), (0, 0), (0, k_pad - k_)))
+    scal = jnp.stack([jnp.asarray(g, jnp.float32),
+                      jnp.asarray(eps2, jnp.float32)])
+    out = pl.pallas_call(
+        _grouped_multipole_kernel,
+        grid=(ng, p_pad // ti, k_pad // tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ti, 3), lambda a, i, k: (a, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 10, tk), lambda a, i, k: (a, 0, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ti, 3), lambda a, i, k: (a, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ng, p_pad, 3), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=45 * ng * p_pad * k_pad,
+            bytes_accessed=ng * (k_pad * 40 + p_pad * 24),
+            transcendentals=ng * p_pad * k_pad,
+        ),
+        interpret=interpret,
+    )(scal, qg, blkTg)
+    return out[:, :p_]
+
+
+def _blkT(com, msum, quad):
+    """Lane-major (10, K) block rows for the multipole kernels."""
+    return jnp.stack([
+        com[:, 0], com[:, 1], com[:, 2], msum,
+        quad[:, 0, 0], quad[:, 1, 1], quad[:, 2, 2],
+        quad[:, 0, 1], quad[:, 0, 2], quad[:, 1, 2],
+    ])
+
+
+def _grouped_mult(qg, blkTg, sel, g, eps2, use_pallas, interpret):
+    """Multipole pull of each group's selected block columns on its rows.
+
+    :param qg: (G, P, 3); :param blkTg: (10, K) all blocks;
+    :param sel: (G, S) selected column ids per group.
+    :return: (G, P, 3).
+    """
+    grouped = jnp.transpose(blkTg.T[sel], (0, 2, 1))  # (G, 10, S)
+    if use_pallas:
+        return pallas_grouped_multipole_acc(
+            qg, grouped, g, eps2, interpret=interpret)
+    com = jnp.transpose(grouped[:, 0:3], (0, 2, 1))  # (G, S, 3)
+    msum = grouped[:, 3]  # (G, S)
+    qd = grouped[:, 4:]  # (G, 6, S) rows: xx yy zz xy xz yz
+    # (G, S, 3, 3) symmetric quadrupole back from the 6 lane rows
+    quad = jnp.stack([
+        qd[:, 0], qd[:, 3], qd[:, 4],
+        qd[:, 3], qd[:, 1], qd[:, 5],
+        qd[:, 4], qd[:, 5], qd[:, 2],
+    ], axis=-1).reshape(qd.shape[0], qd.shape[2], 3, 3)
+    return jax.vmap(
+        lambda qb, cb, mb, Qb: _multipole_acc(qb, cb, mb, Qb, g, eps2)
+    )(qg, com, msum, quad)
+
+
+@partial(jax.jit,
+         static_argnames=("n_near", "block", "coarse", "rc", "w"))
+def build_bh2_partition(
+    pos: jax.Array,
+    mass: jax.Array,
+    n_near: int = 16,
+    block: int = 256,
+    coarse: int = 16,
+    rc: int = 12,
+    w: int = 1,
+) -> BH2Partition:
+    """Two-level partition: fine Morton blocks (padded to a multiple of
+    ``coarse``), per-group refined superblock sets by the coarse opening
+    criterion (+- ``w`` curve window forced), and fine near sets restricted
+    to refined regions so the two-level far field telescopes exactly.
+
+    Empty (all-pad) fine blocks and superblocks are masked out of both
+    selections — their COM sits at the origin, which is typically mid-scene
+    and would otherwise soak up selection slots."""
+    assert coarse >= _ADJ and w >= 1, \
+        "structural fine window must stay inside the forced coarse window"
+    n = pos.shape[0]
+    nb = -(-n // block)
+    nb = -(-nb // coarse) * coarse  # whole superblocks
+    nbc = nb // coarse
+    n_near = min(n_near, nb)
+    rc = min(rc, nbc)
+
+    keys = morton_keys(pos)
+    gid = jnp.arange(n, dtype=jnp.int32)
+    _, sg, sx, sy, sz, smass = jax.lax.sort(
+        (keys, gid, pos[:, 0], pos[:, 1], pos[:, 2], mass), num_keys=1
+    )
+    sg_p = jnp.pad(sg, (0, nb * block - n), constant_values=n)
+    _, inv_rank = jax.lax.sort((sg, gid), num_keys=1)
+
+    spos = jnp.pad(jnp.stack([sx, sy, sz], axis=1),
+                   ((0, nb * block - n), (0, 0)))
+    sm = jnp.pad(smass, (0, nb * block - n))
+
+    from nbody_tpu.ops.spatial import _INF
+
+    def sep_matrix(bpos, bm, k_blocks, blk_rows):
+        bp = bpos.reshape(k_blocks, blk_rows, 3)
+        bmm = bm.reshape(k_blocks, blk_rows)
+        msum = jnp.sum(bmm, axis=1)
+        com = jnp.sum(bmm[..., None] * bp, axis=1) / jnp.maximum(
+            msum, 1e-30)[..., None]
+        d = bp - com[:, None, :]
+        d2m = jnp.sum(d * d, axis=-1)
+        rad = jnp.sqrt(jnp.max(jnp.where(bmm > 0, d2m, 0.0), axis=1))
+        d2 = (
+            jnp.sum(com * com, axis=1)[:, None]
+            + jnp.sum(com * com, axis=1)[None, :]
+            - 2.0 * jnp.matmul(com, com.T, precision=_HI)
+        )
+        sep2 = jnp.maximum(d2, 0.0) / jnp.maximum(
+            (rad[:, None] + rad[None, :]) ** 2, 1e-30)
+        return jnp.where((msum > 0)[None, :], sep2, _INF), msum
+
+    # coarse refined sets
+    sep2c, _ = sep_matrix(spos, sm, nbc, coarse * block)
+    iic = jnp.arange(nbc)
+    adjc = jnp.abs(iic[:, None] - iic[None, :]) <= min(w, (rc - 1) // 2)
+    sep2c = jnp.where(adjc, -1.0, sep2c)
+    refined, _ = _select_k(sep2c, rc)
+
+    # fine near sets, restricted to refined parents
+    sep2f, _ = sep_matrix(spos, sm, nb, block)
+    allowed_c = jnp.zeros((nbc, nbc), bool).at[
+        jnp.arange(nbc)[:, None], refined
+    ].set(True)
+    fine_par = jnp.arange(nb) // coarse
+    allowed = allowed_c[fine_par[:, None], fine_par[None, :]]
+    sep2f = jnp.where(allowed, sep2f, _INF)
+    iif = jnp.arange(nb)
+    adjf = jnp.abs(iif[:, None] - iif[None, :]) <= min(
+        _ADJ, (n_near - 1) // 2)
+    sep2f = jnp.where(adjf, -1.0, sep2f)
+    near, _ = _select_k(sep2f, n_near)
+
+    return BH2Partition(sorted_gid=sg_p, near=near, inv_rank=inv_rank,
+                        refined=refined)
+
+
+@partial(jax.jit,
+         static_argnames=("nbl", "i_chunk", "near_impl"))
+def bh2_sorted_range_acc(
+    spos: jax.Array,
+    sm: jax.Array,
+    near: jax.Array,
+    refined: jax.Array,
+    g_const,
+    softening,
+    blk0,
+    nbl: int,
+    i_chunk: int = 8,
+    near_impl: str = "xla",
+) -> jax.Array:
+    """Two-level accelerations for ``nbl`` receiver blocks starting at
+    traced fine-block index ``blk0`` (both must be multiples of the coarse
+    factor — derived from the array shapes as nb/nbc — so receiver groups
+    align with superblocks).
+
+    :return: (nbl*B, 3) accelerations of the receiver range in sorted order.
+    """
+    nb, m = near.shape
+    b = spos.shape[0] // nb
+    nbc, rc = refined.shape
+    coarse = nb // nbc
+    assert nb % nbc == 0 and nbl % coarse == 0
+    gr = nbl // coarse
+    g = jnp.asarray(g_const, spos.dtype)
+    eps2 = jnp.asarray(softening, spos.dtype) ** 2
+    use_pallas = near_impl in ("pallas", "pallas_interpret")
+    interpret = near_impl == "pallas_interpret"
+
+    blk_pos, blk_m, msum, com, quad = _block_moments(spos, sm, nb, b)
+    _, _, msum_c, com_c, quad_c = _block_moments(spos, sm, nbc, coarse * b)
+
+    def rng(x, start, size):
+        return jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
+
+    q_blocks = rng(blk_pos, blk0, nbl)  # (nbl, B, 3)
+    near_r = rng(near, blk0, nbl)
+    refined_r = rng(refined, blk0 // coarse, gr)  # (gr, rc)
+
+    rows = q_blocks.reshape(nbl * b, 3)
+    qg = rows.reshape(gr, coarse * b, 3)
+
+    # far level 1: every superblock's multipoles on every receiver
+    if use_pallas:
+        far = pallas_multipole_acc(rows, com_c, msum_c, quad_c, g, eps2,
+                                   interpret=interpret)
+    else:
+        far = _multipole_acc(rows, com_c, msum_c, quad_c, g, eps2)
+
+    # far level 2 (telescoped refinement): swap each refined superblock's
+    # coarse term for its member fine blocks' terms. Fine members of
+    # refined[a] are the contiguous slice refined[a]*coarse + [0, coarse).
+    blkT_f = _blkT(com, msum, quad)  # (10, nb)
+    blkT_c = _blkT(com_c, msum_c, quad_c)  # (10, nbc)
+    fine_ids = (refined_r[:, :, None] * coarse
+                + jnp.arange(coarse)[None, None, :]).reshape(gr, rc * coarse)
+    far_g = (
+        _grouped_mult(qg, blkT_f, fine_ids, g, eps2, use_pallas, interpret)
+        - _grouped_mult(qg, blkT_c, refined_r, g, eps2, use_pallas,
+                        interpret)
+    )
+    far = far + far_g.reshape(nbl * b, 3)
+
+    # near pass: exact - fine multipole over the (restricted) near sets
+    nc = -(-nbl // i_chunk)
+    pad = nc * i_chunk - nbl
+
+    def pad0(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    q_c = pad0(q_blocks).reshape(nc, i_chunk * b, 3)
+    near_c = pad0(near_r).reshape(nc, i_chunk, m)
+
+    near_rows = jax.lax.map(
+        lambda args: _near_chunk(args[0], args[1], blk_pos, blk_m, com,
+                                 msum, quad, g, eps2, use_pallas, interpret),
+        (q_c, near_c),
+    ).reshape(nc * i_chunk * b, 3)[: nbl * b]
+    return far + near_rows
+
+
+@partial(jax.jit, static_argnames=("n_near", "block", "coarse", "rc",
+                                   "i_chunk", "near_impl"))
+def bh2_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    g_const: float,
+    softening: float,
+    partition: Optional[BH2Partition] = None,
+    n_near: int = 16,
+    block: int = 256,
+    coarse: int = 16,
+    rc: int = 12,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+) -> jax.Array:
+    """Two-level block-multipole accelerations,
+    O(N*(M*B + N/(C*B) + rc*C)) — the coarse far field drops the one-level
+    engine's O(N*nb) term by ~C at large N. Error adds the coarse-vs-fine
+    residual of out-of-refined-set superblocks on top of
+    :func:`bh_accelerations`'s fine multipole error; both selections are
+    criterion-adaptive, so raising ``rc``/``n_near`` tightens it
+    monotonically.
+
+    :param partition: reusable (possibly stale) :class:`BH2Partition`.
+    """
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    n = pos.shape[0]
+    if partition is None:
+        partition = build_bh2_partition(
+            pos, mass, n_near=n_near, block=block, coarse=coarse, rc=rc)
+    nb = partition.near.shape[0]
+
+    spos, sm = _gather_sorted(pos, mass, partition.base)
+    acc = bh2_sorted_range_acc(
+        spos, sm, partition.near, partition.refined, g_const, softening,
+        jnp.int32(0), nb, i_chunk=i_chunk, near_impl=near_impl,
+    )
+    return _unsort_acc(acc, partition.sorted_gid, n)

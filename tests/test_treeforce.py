@@ -146,3 +146,139 @@ def test_bh_finite_at_zero_softening():
         a = bh_accelerations(pos, mass, G, 0.0, n_near=8, block=128,
                              near_impl=impl)
         assert bool(jnp.isfinite(a).all()), impl
+
+
+# --- two-level (coarse) engine ---------------------------------------------
+
+
+def test_bh2_close_to_exact_and_comparable_to_bh1():
+    """Two-level error tiers stay in the same regime as the one-level
+    engine at matched near budgets (the coarse residual is second-order)."""
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(10), 6000)
+    from nbody_tpu.ops.treeforce import bh2_accelerations
+
+    exact = pairwise_accelerations(pos, mass, G, EPS)
+    a1 = bh_accelerations(pos, mass, G, EPS, n_near=16, block=128)
+    a2 = bh2_accelerations(pos, mass, G, EPS, n_near=16, block=128,
+                           coarse=4, rc=8)
+    med1, mean1 = _rel_err(a1, exact)
+    med2, mean2 = _rel_err(a2, exact)
+    assert med2 < 4 * med1 + 1e-3, (med1, med2)
+    assert mean2 < 4 * mean1 + 1e-2, (mean1, mean2)
+
+
+def test_bh2_full_refinement_telescopes_to_bh1():
+    """rc = nbc refines every superblock: the coarse far field cancels and
+    the result matches the one-level engine (up to f32 summation-order
+    rounding through the near-multipole cancellation)."""
+    from nbody_tpu.ops.treeforce import bh2_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(11), 4096)
+    nb = -(-4096 // 128)
+    nbc = -(-nb // 4)
+    a1 = bh_accelerations(pos, mass, G, EPS, n_near=8, block=128)
+    a2 = bh2_accelerations(pos, mass, G, EPS, n_near=8, block=128,
+                           coarse=4, rc=nbc)
+    num = jnp.linalg.norm(a2 - a1, axis=-1)
+    den = jnp.linalg.norm(a1, axis=-1) + 1e-30
+    assert float(jnp.median(num / den)) < 1e-4
+
+
+def test_bh2_error_decreases_with_rc():
+    from nbody_tpu.ops.treeforce import bh2_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(12), 4096)
+    exact = pairwise_accelerations(pos, mass, G, EPS)
+    errs = []
+    for rc in (3, 5, 8):
+        a = bh2_accelerations(pos, mass, G, EPS, n_near=8, block=128,
+                              coarse=4, rc=rc)
+        errs.append(_rel_err(a, exact)[1])
+    assert errs[0] >= errs[1] >= errs[2], errs
+
+
+def test_bh2_partition_consistency_and_reuse():
+    """Near sets are restricted to refined parents (exact telescoping by
+    construction); a stale partition stays usable."""
+    from nbody_tpu.ops.treeforce import bh2_accelerations, build_bh2_partition
+
+    key = jax.random.PRNGKey(13)
+    pos, vel, mass = generate_spiral(key, 4000)
+    part = build_bh2_partition(pos, mass, n_near=8, block=128, coarse=4,
+                               rc=6)
+    near = np.asarray(part.near)
+    refined = np.asarray(part.refined)
+    nb = near.shape[0]
+    assert nb % 4 == 0
+    for i in range(nb):
+        for j in near[i]:
+            assert (j // 4) in refined[i // 4], (i, j)
+    # self group always refined, self block always near
+    assert all(a in refined[a] for a in range(refined.shape[0]))
+    assert all(i in near[i] for i in range(nb))
+
+    drifted = pos + vel * 1e-2
+    exact = pairwise_accelerations(drifted, mass, G, EPS)
+    approx = bh2_accelerations(drifted, mass, G, EPS, partition=part)
+    med, mean = _rel_err(approx, exact)
+    # loose budget on purpose (M=8, rc=6/8): one-level at M=8 measures
+    # ~5e-2 med on this profile; this checks usability, not a tier
+    assert med < 6e-2, med
+
+
+def test_bh2_pallas_interpret_matches_xla():
+    """The grouped Pallas multipole kernel (interpret) + Pallas near pass
+    == the pure-XLA two-level path."""
+    from nbody_tpu.ops.treeforce import bh2_accelerations, build_bh2_partition
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(14), 2048)
+    part = build_bh2_partition(pos, mass, n_near=8, block=128, coarse=4,
+                               rc=4)
+    a_x = bh2_accelerations(pos, mass, G, EPS, partition=part, i_chunk=2,
+                            near_impl="xla")
+    a_p = bh2_accelerations(pos, mass, G, EPS, partition=part, i_chunk=2,
+                            near_impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               rtol=2e-3, atol=5e-9)
+
+
+def test_bh2_jit_finite_and_zero_softening():
+    from nbody_tpu.ops.treeforce import bh2_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(15), 2048)
+
+    @jax.jit
+    def f(p):
+        return jnp.sum(
+            bh2_accelerations(p, mass, G, EPS, n_near=8, block=128,
+                              coarse=4, rc=4) ** 2)
+
+    assert np.isfinite(float(f(pos)))
+    a0 = bh2_accelerations(pos, mass, G, 0.0, n_near=8, block=128,
+                           coarse=4, rc=4)
+    assert bool(jnp.isfinite(a0).all())
+
+
+def test_simulate_bh2_backend_tracks_exact():
+    """force_backend='bh2' (two-level, with partition refresh) stays close
+    to the dense rollout at a config where the far field is genuinely
+    approximate (near covers 8/48 blocks, refined 6/12 superblocks)."""
+    from nbody_tpu.core.simulate import SimulationConfig, simulate
+
+    pos, vel, mass = generate_disk(jax.random.PRNGKey(16), 3000)
+    base = dict(g_const=G, softening=EPS, dt=1e-4, integrator="leapfrog",
+                calc_energy=True)
+    t_ex = simulate(pos, vel, mass, 50,
+                    SimulationConfig(force_backend="dense", **base))
+    t_bh = simulate(pos, vel, mass, 50,
+                    SimulationConfig(force_backend="bh2", bh_near=8,
+                                     bh_block=64, bh_coarse=4, bh_rc=6,
+                                     bh_refresh=8, **base))
+    d = np.linalg.norm(
+        np.asarray(t_bh.positions[-1]) - np.asarray(t_ex.positions[-1]),
+        axis=-1)
+    scale = float(np.linalg.norm(np.asarray(t_ex.positions[-1]), axis=-1).mean())
+    assert 0 < np.max(d) / scale < 1e-4, np.max(d) / scale
+
+    e = np.asarray(t_bh.u_energy) + np.asarray(t_bh.k_energy)
+    assert np.abs(e - e[0]).max() < 1e-3 * abs(e[0])
