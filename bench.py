@@ -1,17 +1,27 @@
 #!/usr/bin/env python3
-"""Headline benchmark: 10k-body direct-sum leapfrog rollout throughput on TPU.
+"""Driver benchmark. The PRIMARY line (printed first, for round-over-round
+continuity) is the 10k-body direct-sum leapfrog rollout throughput on TPU.
+That kernel has been rsqrt-bound since round 1 (~1316x baseline), so
+secondary FRONTIER lines follow — one JSON line each, same schema, each
+against its own reference-derived baseline — covering what later rounds
+actually improved: the Barnes-Hut engine at 200k, the GNN surrogate
+rollout at 100k, and the fused-Pallas ContConv surrogate at 100k. Every
+frontier line is best-effort (guarded): a failure there never corrupts
+the primary metric.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Baseline: the reference (CPU, single device) measures ~2.9 ms/step at 500
-bodies (BASELINE.md, figures/stepwise_time.png). Direct summation scales
-O(N^2), so its derived 10k-body throughput is
-    500 / 2.9e-3 * (500/10000)^2 * (10000/500) = 10000 / (2.9e-3 * 400)
-    ~= 8.62e3 particle-steps/sec.
-``vs_baseline`` is our measured particle-steps/sec over that number.
+Primary baseline: the reference (CPU, single device) measures ~2.9 ms/step
+at 500 bodies (BASELINE.md, figures/stepwise_time.png). Direct summation
+scales O(N^2), so its derived 10k-body throughput is
+    500 / 2.9e-3 / (10000/500) ~= 8.62e3 particle-steps/sec.
+Frontier baselines (derivations in ``_frontier``):
+  - BH @200k vs the O(N^2)-scaled CPU direct sum at 200k;
+  - surrogates @100k vs the reference's measured per-step surrogate times
+    at 500 bodies scaled linearly in N (their per-edge cost is O(N k)) —
+    generous to the reference, which could never hold 100k bodies.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -19,6 +29,15 @@ import jax
 N_BODIES = 10_000
 STEPS = 200
 BASELINE_PSTEPS = 500 / 2.9e-3 / (N_BODIES / 500)  # O(N^2)-scaled CPU reference
+
+
+def _emit(metric, psteps, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(psteps, 1),
+        "unit": "particle-steps/sec",
+        "vs_baseline": round(psteps / baseline, 2),
+    }), flush=True)
 
 
 def main():
@@ -49,16 +68,95 @@ def main():
     elapsed = time.perf_counter() - t0
 
     psteps = N_BODIES * STEPS / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": f"direct-sum leapfrog rollout throughput ({N_BODIES} bodies, {STEPS} steps)",
-                "value": round(psteps, 1),
-                "unit": "particle-steps/sec",
-                "vs_baseline": round(psteps / BASELINE_PSTEPS, 2),
-            }
-        )
+    _emit(
+        f"direct-sum leapfrog rollout throughput ({N_BODIES} bodies, {STEPS} steps)",
+        psteps, BASELINE_PSTEPS,
     )
+
+    for name, fn in _frontier():
+        try:
+            fn()
+        except Exception as e:  # frontier lines are best-effort
+            print(f"frontier bench {name!r} skipped: {e}", file=sys.stderr)
+
+
+def _frontier():
+    import jax.numpy as jnp
+
+    from nbody_tpu.core.simulate import SimulationConfig, simulate
+    from nbody_tpu.ics import generate_spiral
+    from nbody_tpu.utils.timing import fetch_scalar as _sync
+
+    def timed(fn, out):
+        _sync(out(fn()))  # warm
+        t0 = time.perf_counter()
+        r = fn()
+        _sync(out(r))
+        return time.perf_counter() - t0
+
+    def bh_200k():
+        n, steps = 200_000, 50
+        pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
+        cfg = SimulationConfig(g_const=4.5e-6, softening=0.05, dt=1e-4,
+                               calc_energy=False, force_backend="bh",
+                               bh_refresh=8)
+        el = timed(lambda: simulate(pos, vel, mass, steps, cfg),
+                   lambda t: t.positions)
+        # CPU reference direct sum O(N^2)-scaled to 200k bodies
+        _emit(f"Barnes-Hut rollout throughput ({n} bodies, {steps} steps)",
+              n * steps / el, 500 / 2.9e-3 / (n / 500))
+
+    def gnn_100k():
+        n, steps = 100_000, 20
+        from nbody_tpu.models import GraphModel
+        from nbody_tpu.train.graphs import build_graph
+        from nbody_tpu.train.rollout import autoregressive_rollout
+
+        pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
+        model = GraphModel(input_dim=4, gnn_dim=64, message_passing_steps=2,
+                          aggr="mean", neighbors=10, scale_factor=1e6,
+                          knn_method="morton", knn_impl="pallas",
+                          fused_edgeconv=True)
+        x = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
+        idx, valid = build_graph(model.graph_spec, x[..., :3])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(1), x, idx, valid)
+        el = timed(
+            lambda: autoregressive_rollout(model, variables, pos, vel, mass,
+                                           steps + 1, 1e-4, graph_refresh=8),
+            lambda r: r[0])
+        # reference GNN surrogate: 2.84 ms/step at 500 bodies (CPU,
+        # results/gnn/test_results_stepwise.csv), O(N k) => linear in N
+        _emit(f"GNN surrogate rollout throughput ({n} bodies, {steps} steps)",
+              n * steps / el, 500 / 2.84e-3)
+
+    def contconv_100k():
+        n, steps = 100_000, 10
+        from nbody_tpu.models import ContinuousConvModel
+        from nbody_tpu.train.graphs import build_graph
+        from nbody_tpu.train.rollout import autoregressive_rollout
+
+        pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
+        model = ContinuousConvModel(
+            in_channels=4, out_channels=3, filter_resolution=(6, 4),
+            radius=1.0, agg="mean", self_loops=True,
+            continuous_conv_layers=2, continuous_conv_dim=128,
+            encoder_hiddens=(32, 64), decoder_hiddens=(64, 32),
+            scale_factor=1e6, radius_method="morton", radius_impl="pallas",
+            conv_impl="pallas")
+        x = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
+        idx, valid = build_graph(model.graph_spec, x[..., :3])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(1), x, idx, valid)
+        el = timed(
+            lambda: autoregressive_rollout(model, variables, pos, vel, mass,
+                                           steps + 1, 1e-4, graph_refresh=8),
+            lambda r: r[0])
+        # reference ContConv surrogate: 2.22 s/step at 500 bodies (CPU,
+        # results/contconv/test_results_stepwise.csv), O(N k) => linear in N
+        _emit(f"ContConv surrogate rollout throughput ({n} bodies, {steps} steps)",
+              n * steps / el, 500 / 2.22)
+
+    return [("bh_200k", bh_200k), ("gnn_100k", gnn_100k),
+            ("contconv_100k", contconv_100k)]
 
 
 if __name__ == "__main__":

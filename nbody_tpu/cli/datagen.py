@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "dense", "pallas", "bh"])
     p.add_argument("--no-npz", action="store_true",
                    help="skip the fast-reload .npz twin")
+    p.add_argument("--npz-only", action="store_true",
+                   help="skip the long-format CSV (large-N datasets where "
+                        "per-row CSV is pure overhead)")
+    p.add_argument("--snapshot-stride", type=int, default=1,
+                   help="record every this-many-th step (incl. step 0; the "
+                        "step column keeps original indices) — the large-N "
+                        "dataset size knob")
     p.add_argument("--time-chunks", type=int, default=1,
                    help=">1: record per-chunk honest wall times in the "
                         "step_time column instead of the uniform rollout "
@@ -84,6 +91,8 @@ def main(argv=None):
     run = lambda: generate_dataset(
         scenarios, args.output, write_npz=not args.no_npz,
         time_chunks=args.time_chunks, check=args.check,
+        snapshot_stride=args.snapshot_stride,
+        write_csv_file=not args.npz_only,
     )
     if args.profile:
         from nbody_tpu.utils.profiling import trace_profile

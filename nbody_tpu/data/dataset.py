@@ -90,9 +90,14 @@ class SnapshotDataset:
                 [pos, vel, np.broadcast_to(mass[None, :, None], (steps, n, 1))],
                 axis=-1,
             ).astype(np.float32)
+            # strided datasets carry their original step numbers
+            step = (
+                data[f"scene{s}_step"].astype(np.int32)
+                if f"scene{s}_step" in data
+                else np.arange(steps, dtype=np.int32)
+            )
             raw.setdefault(n, []).append(
-                (x, acc.astype(np.float32),
-                 np.full(steps, s, np.int32), np.arange(steps, dtype=np.int32))
+                (x, acc.astype(np.float32), np.full(steps, s, np.int32), step)
             )
         return cls(_collate(raw))
 

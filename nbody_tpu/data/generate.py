@@ -45,6 +45,11 @@ class ScenarioConfig:
     arm_strength: float = 0.3
     seed: Optional[int] = None
     force_backend: str = "auto"
+    # "bh" ground-truth knobs (core.simulate.SimulationConfig): exact
+    # near-set size and partition refresh interval — M=48 measures
+    # ~1.8e-3 median force error on spirals, good surrogate ground truth
+    bh_near: int = 32
+    bh_refresh: int = 1
 
 
 def scenario_product(**kwargs) -> List[ScenarioConfig]:
@@ -116,6 +121,8 @@ def run_scenario(cfg: ScenarioConfig, key=None, time_chunks: int = 1):
         integrator=cfg.integrator,
         calc_energy=True,
         force_backend=cfg.force_backend,
+        bh_near=cfg.bh_near,
+        bh_refresh=cfg.bh_refresh,
     )
     from nbody_tpu.utils.timing import device_time
 
@@ -159,11 +166,17 @@ def run_scenario(cfg: ScenarioConfig, key=None, time_chunks: int = 1):
 
 def trajectory_to_rows(
     scene_id: int, cfg: ScenarioConfig, traj: Trajectory, mass: np.ndarray,
-    step_time: float,
+    step_time: float, step_idx: Optional[np.ndarray] = None,
 ):
     """Vectorised long-format table for one scene: steps x n_bodies rows in
-    the reference column order (s01:222-241), as a dict of numpy columns."""
-    s, n = cfg.steps, cfg.n_bodies
+    the reference column order (s01:222-241), as a dict of numpy columns.
+
+    :param step_idx: recorded step numbers (default ``arange``; strided
+        datasets pass the original indices so the ``step`` column stays
+        honest about simulation time)."""
+    s, n = int(traj.positions.shape[0]), cfg.n_bodies
+    if step_idx is None:
+        step_idx = np.arange(s)
     p = np.asarray(traj.positions).reshape(s * n, 3)
     v = np.asarray(traj.velocities).reshape(s * n, 3)
     a = np.asarray(traj.accelerations).reshape(s * n, 3)
@@ -177,7 +190,7 @@ def trajectory_to_rows(
     return {
         "scene": np.full(s * n, scene_id, np.int64),
         "scene_type": np.full(s * n, cfg.sim_type, object),
-        "step": np.repeat(np.arange(s), n),
+        "step": np.repeat(np.asarray(step_idx), n),
         "step_time": st,
         "mass": np.tile(mass, s),
         "x": p[:, 0], "y": p[:, 1], "z": p[:, 2],
@@ -209,6 +222,8 @@ def run_scenario_group(cfgs: Sequence[ScenarioConfig], keys=None):
         integrator=base.integrator,
         calc_energy=True,
         force_backend=base.force_backend,
+        bh_near=base.bh_near,
+        bh_refresh=base.bh_refresh,
     )
 
     def one(key):
@@ -255,6 +270,8 @@ def generate_dataset(
     vmap_scenes: bool = True,
     time_chunks: int = 1,
     check: bool = False,
+    snapshot_stride: int = 1,
+    write_csv_file: bool = True,
 ) -> None:
     """Run every scenario and write one long-format CSV (s01:106-243), plus an
     ``.npz`` twin (same stem) for fast reload by ``data.dataset``.
@@ -267,7 +284,13 @@ def generate_dataset(
         :func:`run_scenario`); disables scene vmapping (chunked timing needs
         sequential dispatches).
     :param check: checkify NaN/Inf guard on every produced trajectory
-        (SURVEY.md §5.2) — raises instead of writing corrupt data."""
+        (SURVEY.md §5.2) — raises instead of writing corrupt data.
+    :param snapshot_stride: record every this-many-th step (always incl.
+        step 0; the ``step`` column keeps original indices). The large-N
+        training pipeline's knob: a 20k-body x 1000-step scene at stride 1
+        is a ~3 GB CSV, at stride 8 a manageable npz.
+    :param write_csv_file: False skips the long-format CSV and writes only
+        the npz (large-N datasets where per-row CSV is pure overhead)."""
     import pandas as pd
 
     if time_chunks > 1:
@@ -308,15 +331,26 @@ def generate_dataset(
                 (traj.positions, traj.velocities, traj.accelerations),
                 what=f"scene {scene_id} trajectory",
             )
-        frames.append(
-            pd.DataFrame(trajectory_to_rows(scene_id, cfg, traj, mass, step_time))
-        )
+        step_idx = np.arange(int(traj.positions.shape[0]))
+        if snapshot_stride > 1:
+            step_idx = step_idx[::snapshot_stride]
+            traj = Trajectory(
+                *(None if x is None else x[::snapshot_stride] for x in traj)
+            )
+            if np.ndim(step_time):
+                step_time = np.asarray(step_time)[::snapshot_stride]
+        if write_csv_file:
+            frames.append(
+                pd.DataFrame(trajectory_to_rows(
+                    scene_id, cfg, traj, mass, step_time, step_idx))
+            )
         npz_payload[f"scene{scene_id}_pos"] = np.asarray(traj.positions)
         npz_payload[f"scene{scene_id}_vel"] = np.asarray(traj.velocities)
         npz_payload[f"scene{scene_id}_acc"] = np.asarray(traj.accelerations)
         npz_payload[f"scene{scene_id}_mass"] = mass
         npz_payload[f"scene{scene_id}_u"] = np.asarray(traj.u_energy)
         npz_payload[f"scene{scene_id}_k"] = np.asarray(traj.k_energy)
+        npz_payload[f"scene{scene_id}_step"] = step_idx.astype(np.int32)
         npz_payload[f"scene{scene_id}_meta"] = np.array(
             [scene_id, cfg.steps, cfg.n_bodies, float(np.mean(step_time))],
             np.float64,
@@ -325,10 +359,11 @@ def generate_dataset(
             npz_payload[f"scene{scene_id}_step_time"] = np.asarray(step_time)
         npz_payload[f"scene{scene_id}_type"] = np.array(cfg.sim_type)
 
-    df = pd.concat(frames, ignore_index=True)[CSV_FIELDS]
-    from nbody_tpu.data.io_native import write_csv
+    if write_csv_file:
+        df = pd.concat(frames, ignore_index=True)[CSV_FIELDS]
+        from nbody_tpu.data.io_native import write_csv
 
-    write_csv(df, output)
+        write_csv(df, output)
     if write_npz:
         np.savez_compressed(_npz_path(output), n_scenes=len(scenarios), **npz_payload)
 

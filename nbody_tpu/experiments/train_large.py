@@ -1,0 +1,243 @@
+"""Large-N surrogate training — train the GNN force surrogate on
+Barnes-Hut ground truth at 10k-100k bodies, a scale the reference cannot
+reach (its trainer runs at <=500 bodies on CPU, ``trainer.py:20-92``,
+``gnn_experiment.py:24-49``; its only ground-truth engine is the dense
+O(N^2) direct sum capped near 10^4).
+
+Pipeline (every stage on-device):
+1. datagen — spiral scenes integrated with ``force_backend='bh'``
+   (``ops/treeforce.py``, M=bh-near exact blocks: ~1.8e-3 median force
+   error at M=48), snapshot-strided npz-only datasets;
+2. training — ``Trainer`` with Morton kNN graphs built on device inside
+   the jitted step (``batch_mode='bucketed'``), per-epoch wall-clock
+   recorded;
+3. eval — stepwise loss on a held-out scene, then an autoregressive
+   rollout from its step-0 state: position RMSE vs the BH ground-truth
+   trajectory at every recorded snapshot AND final-state acceleration
+   RMSE vs the EXACT direct-sum forces (the surrogate is graded against
+   real physics, not just against its teacher).
+
+Usage:
+    python -m nbody_tpu.experiments.train_large --n-bodies 20000 \
+        --train-scenes 2 --steps 400 --stride 4 --epochs 10
+
+Writes ``results/large_scale/train_<N>.json`` + an epoch-loss CSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+G, EPS, DT = 4.5e-6, 0.05, 1e-4
+
+
+def main(argv=None):
+    from nbody_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-bodies", type=int, default=20_000)
+    p.add_argument("--train-scenes", type=int, default=2)
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--stride", type=int, default=4)
+    p.add_argument("--bh-near", type=int, default=48)
+    p.add_argument("--bh-refresh", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--neighbors", type=int, default=10)
+    p.add_argument("--gnn-dim", type=int, default=64)
+    p.add_argument("--rollout-steps", type=int, default=0,
+                   help="surrogate rollout horizon for eval (0 = up to the "
+                        "last recorded ground-truth snapshot)")
+    p.add_argument("--graph-refresh", type=int, default=8)
+    p.add_argument("--data-dir", default="results/large_scale/data")
+    p.add_argument("--out", default=None)
+    p.add_argument("--skip-datagen", action="store_true",
+                   help="reuse existing npz datasets")
+    args = p.parse_args(argv)
+
+    from nbody_tpu.data.generate import ScenarioConfig, generate_dataset
+    from nbody_tpu.data.dataset import SnapshotDataset
+    from nbody_tpu.models import GraphModel
+    from nbody_tpu.train.optim import PlateauScheduler
+    from nbody_tpu.train.rollout import autoregressive_rollout
+    from nbody_tpu.train.trainer import Trainer
+
+    n = args.n_bodies
+    tag = f"{n // 1000}k" if n % 1000 == 0 else str(n)
+    data_dir = os.path.join(args.data_dir + tag)
+    train_dir = os.path.join(data_dir, "train")
+    test_dir = os.path.join(data_dir, "test")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(test_dir, exist_ok=True)
+
+    def scenario(seed):
+        return ScenarioConfig(
+            n_bodies=n, integrator="leapfrog", sim_type="spiral",
+            steps=args.steps, dt=DT, softening=EPS, g=G, seed=seed,
+            force_backend="bh", bh_near=args.bh_near,
+            bh_refresh=args.bh_refresh,
+        )
+
+    # --- stage 1: BH ground-truth datagen -------------------------------
+    t0 = time.perf_counter()
+    datagen_s = 0.0
+    for i in range(args.train_scenes):
+        out = os.path.join(train_dir, f"train_{i}.csv")
+        if args.skip_datagen and os.path.exists(out[:-4] + ".npz"):
+            continue
+        generate_dataset([scenario(42 + i)], out, snapshot_stride=args.stride,
+                         write_csv_file=False, vmap_scenes=False)
+    test_csv = os.path.join(test_dir, "test.csv")
+    if not (args.skip_datagen and os.path.exists(test_csv[:-4] + ".npz")):
+        generate_dataset([scenario(1042)], test_csv,
+                         snapshot_stride=args.stride, write_csv_file=False,
+                         vmap_scenes=False)
+    datagen_s = time.perf_counter() - t0
+    print(f"datagen: {datagen_s:.1f}s", flush=True)
+
+    # --- stage 2: train --------------------------------------------------
+    on_tpu = jax.default_backend() == "tpu"
+    model = GraphModel(
+        input_dim=4, gnn_dim=args.gnn_dim, message_passing_steps=2,
+        aggr="mean", neighbors=args.neighbors, scale_factor=1e6,
+        knn_method="morton", knn_impl="pallas" if on_tpu else "xla",
+        fused_edgeconv=True,  # the (N, k, 2d) message tensor is the HBM
+        # bottleneck at 20k+ bodies; same function & params (models/gnn.py)
+    )
+    trainer = Trainer(
+        model, learning_rate=args.lr, dt=DT, seed=0,
+        scheduler=PlateauScheduler(lr=args.lr, factor=0.25, patience=5),
+    )
+    epoch_walls = []
+    last = [time.perf_counter()]
+
+    def on_epoch(e, losses, mses):
+        now = time.perf_counter()
+        epoch_walls.append(now - last[0])
+        last[0] = now
+
+    t0 = time.perf_counter()
+    losses, mses = trainer.train_from_dir(
+        train_dir, epochs=args.epochs, batch_size=args.batch_size,
+        batch_mode="bucketed", verbose=True, on_epoch_end=on_epoch,
+    )
+    train_s = time.perf_counter() - t0
+    print(f"train: {train_s:.1f}s, final loss {losses[-1]:.4f}", flush=True)
+
+    # --- stage 3: eval ---------------------------------------------------
+    test_ds = SnapshotDataset.from_file(test_csv)
+    traj = test_ds.scene_trajectory(0)
+    step_idx = np.sort(
+        np.asarray(test_ds.buckets[n].step[test_ds.buckets[n].scene == 0]))
+
+    # stepwise: 1-step scaled RMSE over all recorded test snapshots
+    # (reference loss semantics, gnn.py:150-161)
+    from nbody_tpu.train.graphs import build_graph
+
+    variables = {"params": trainer.state.params}
+    if trainer._has_bn:
+        variables["batch_stats"] = trainer.state.batch_stats
+
+    @jax.jit
+    def stepwise_loss(x, y):
+        idx, valid = build_graph(model.graph_spec, x[..., :3])
+        pred = model.apply(variables, x, idx, valid, train=False)
+        return jnp.sqrt(jnp.mean((model.scale_factor * (pred - y)) ** 2))
+
+    b = test_ds.buckets[n]
+    sw = []
+    for i in range(b.x.shape[0]):
+        sw.append(float(stepwise_loss(b.x[i][None], b.y[i][None])))
+    stepwise = float(np.mean(sw))
+    print(f"stepwise scaled RMSE: {stepwise:.4f}", flush=True)
+
+    # rollout vs BH ground truth + exact forces
+    horizon = args.rollout_steps or int(step_idx[-1])
+    pos0 = jnp.asarray(traj.pos[0])
+    vel0 = jnp.asarray(traj.vel[0])
+    mass = jnp.asarray(traj.mass)
+    t0 = time.perf_counter()
+    ps, vs, accs = autoregressive_rollout(
+        model, variables, pos0, vel0, mass,
+        horizon + 1, DT, graph_refresh=args.graph_refresh,
+    )
+    ps_np = np.asarray(ps)
+    rollout_s = time.perf_counter() - t0
+
+    rows = []
+    for j, s in enumerate(step_idx):
+        if s > horizon:
+            break
+        rmse = float(np.sqrt(
+            ((ps_np[int(s)] - traj.pos[j]) ** 2).sum(-1).mean()))
+        rows.append({"step": int(s), "pos_rmse": rmse})
+
+    # final-state force fidelity vs the EXACT direct sum
+    from nbody_tpu.ops.pairwise import pallas_accelerations
+    from nbody_tpu.core.forces import pairwise_accelerations
+
+    force = pallas_accelerations if on_tpu else pairwise_accelerations
+    a_exact = np.asarray(
+        jax.jit(lambda q: force(q, mass, G, EPS))(jnp.asarray(ps_np[horizon]))
+    )
+    a_pred = np.asarray(accs[-1])
+    num = np.linalg.norm(a_pred - a_exact, axis=1)
+    den = np.maximum(np.linalg.norm(a_exact, axis=1), 1e-30)
+    acc_med = float(np.median(num / den))
+    acc_rmse = float(np.sqrt((num ** 2).mean()))
+
+    result = {
+        "n_bodies": n,
+        "device": jax.devices()[0].platform,
+        "dataset": {
+            "train_scenes": args.train_scenes, "steps": args.steps,
+            "stride": args.stride, "bh_near": args.bh_near,
+            "datagen_seconds": round(datagen_s, 1),
+            "snapshots_per_scene": int(np.ceil(args.steps / args.stride)),
+        },
+        "training": {
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "lr": args.lr, "final_scaled_rmse": losses[-1],
+            "first_scaled_rmse": losses[0],
+            "seconds_total": round(train_s, 1),
+            "seconds_per_epoch": [round(w, 2) for w in epoch_walls],
+        },
+        "eval": {
+            "stepwise_scaled_rmse": stepwise,
+            "rollout_horizon": horizon,
+            "rollout_seconds": round(rollout_s, 2),
+            "rollout_pos_rmse": rows,
+            "final_acc_median_rel_err_vs_exact": acc_med,
+            "final_acc_rmse_vs_exact": acc_rmse,
+        },
+    }
+    print(json.dumps({"final_loss": losses[-1], "stepwise": stepwise,
+                      "final_pos_rmse": rows[-1]["pos_rmse"] if rows else None,
+                      "acc_med_rel_err": acc_med}), flush=True)
+
+    out = args.out or f"results/large_scale/train_{tag}.json"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    # epoch-loss CSV in the reference schema (gnn_experiment.py:93-95)
+    import pandas as pd
+
+    pd.DataFrame({"epoch": np.arange(1, len(losses) + 1), "loss": losses,
+                  "mse_loss": mses,
+                  "wall_s": epoch_walls[: len(losses)]}).to_csv(
+        out[:-5] + "_epoch_loss.csv", index=False)
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,19 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def _list_dataset_files(data_path: str):
+    """Dataset files under a directory: CSVs plus npz-only datasets (large-N
+    datagen with write_csv_file=False) that have no CSV sibling.
+    ``SnapshotDataset.from_file`` resolves either form."""
+    files = sorted(glob(os.path.join(data_path, "*.csv")))
+    stems = {f[:-4] for f in files}
+    files += sorted(
+        f for f in glob(os.path.join(data_path, "*.npz"))
+        if f[:-4] not in stems
+    )
+    return sorted(files)
+
+
 class Trainer:
     """:param model: a flax surrogate exposing ``graph_spec`` and
         ``scale_factor`` (``GraphModel`` / ``ContinuousConvModel``).
@@ -505,9 +518,9 @@ class Trainer:
               union, which equals the mixed-batch RMSE exactly (for
               BatchNorm-free models; with BatchNorm the batch statistics are
               per-size rather than per-union)."""
-        csv_files = sorted(glob(os.path.join(data_path, "*.csv")))
+        csv_files = _list_dataset_files(data_path)
         if not csv_files:
-            raise FileNotFoundError(f"no CSVs under {data_path}")
+            raise FileNotFoundError(f"no datasets under {data_path}")
 
         first_ds = self._dataset(csv_files[0])
         first_batch = next(iter(BatchIterator(first_ds, batch_size, shuffle=False)))
@@ -608,9 +621,9 @@ class Trainer:
         df_rollout indexed (filename, scene, step) with pos/vel/acc RMSE)."""
         import pandas as pd
 
-        csv_files = sorted(glob(os.path.join(data_path, "*.csv")))
+        csv_files = _list_dataset_files(data_path)
         if not csv_files:
-            raise FileNotFoundError(f"no CSVs under {data_path}")
+            raise FileNotFoundError(f"no datasets under {data_path}")
 
         if model_path:
             first_ds = self._dataset(csv_files[0])

@@ -45,3 +45,30 @@ def test_mixed_groups_roundtrip(tmp_path):
     assert sorted(df["scene"].unique()) == [0, 1, 2, 3]
     assert len(df) == 4 * 6 + 4 * 6 + 4 * 9 + 4 * 9
     assert np.isfinite(df[["x", "y", "z", "u", "k"]].to_numpy()).all()
+
+
+def test_snapshot_stride_and_npz_only(tmp_path):
+    """Strided datasets keep original step numbers (CSV column and npz
+    twin agree) and --npz-only skips the CSV entirely."""
+    from nbody_tpu.data.dataset import SnapshotDataset
+
+    scenarios = scenario_product(
+        n_bodies=8, steps=10, sim_type="disk", seed=7, force_backend="dense"
+    )
+    out = str(tmp_path / "s.csv")
+    generate_dataset(scenarios, out, verbose=False, snapshot_stride=4)
+    df = pd.read_csv(out)
+    assert sorted(df["step"].unique()) == [0, 4, 8]
+    ds = SnapshotDataset.from_npz(out[:-4] + ".npz")
+    bucket = ds.buckets[8]
+    assert sorted(bucket.step.tolist()) == [0, 4, 8]
+    np.testing.assert_allclose(
+        bucket.x[bucket.step == 4][0, :, 0],
+        df[df.step == 4]["x"].to_numpy(np.float32), rtol=1e-6)
+
+    out2 = str(tmp_path / "only.csv")
+    generate_dataset(scenarios, out2, verbose=False, snapshot_stride=2,
+                     write_csv_file=False)
+    assert not (tmp_path / "only.csv").exists()
+    ds2 = SnapshotDataset.from_file(out2)  # resolves the npz twin
+    assert ds2.n_snapshots == 5

@@ -145,3 +145,80 @@ def test_sharded_contconv_morton_graph(mesh8):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-5, atol=1e-7
     )
+
+
+def test_sharded_loss_and_grad_matches_single_device(mesh8):
+    """jax.grad THROUGH the particle-sharded forward == single-device
+    gradients (VERDICT r2 item 6): the all_gathers differentiate into
+    collectives and the per-shard parameter contributions psum."""
+    from nbody_tpu.parallel.surrogate import sharded_loss_and_grad
+
+    model = GraphModel(
+        input_dim=4, gnn_dim=16, message_passing_steps=2, aggr="mean",
+        node_encoder_dims=(8,), neighbors=5, scale_factor=1e6,
+    )
+    n = 64
+    pos, vel, mass, variables = _setup(model, n, seed=5)
+    y = jax.random.normal(jax.random.PRNGKey(6), (n, 3)) * 1e-6
+
+    def single_loss(params):
+        pred = predict_accelerations(
+            model, {"params": params}, pos, vel, mass)
+        return jnp.sqrt(jnp.mean((model.scale_factor * (pred - y)) ** 2))
+
+    want_loss, want_g = jax.value_and_grad(single_loss)(variables["params"])
+    got_loss, got_g = sharded_loss_and_grad(
+        model, variables, pos, vel, mass, y, mesh8)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    flat_w, _ = jax.tree_util.tree_flatten(want_g)
+    flat_g, _ = jax.tree_util.tree_flatten(got_g)
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=1e-7)
+
+
+def test_sharded_grad_descends(mesh8):
+    """A few optax steps on the sharded gradients reduce the sharded loss —
+    the minimal particle-sharded training loop."""
+    import optax
+
+    from nbody_tpu.parallel.surrogate import sharded_loss_and_grad
+
+    model = GraphModel(input_dim=4, gnn_dim=8, message_passing_steps=1,
+                       aggr="mean", neighbors=4, scale_factor=1e6)
+    n = 48
+    pos, vel, mass, variables = _setup(model, n, seed=7)
+    y = jax.random.normal(jax.random.PRNGKey(8), (n, 3)) * 1e-6
+
+    tx = optax.adam(1e-2)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    losses = []
+    for _ in range(5):
+        loss, g = sharded_loss_and_grad(
+            model, {"params": params}, pos, vel, mass, y, mesh8)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_sharded_contconv_rollout_matches_single_device(mesh8):
+    from nbody_tpu.models import ContinuousConvModel
+    from nbody_tpu.parallel.surrogate import sharded_contconv_rollout
+
+    model = ContinuousConvModel(
+        in_channels=4, filter_resolution=(4, 3), radius=1.5,
+        continuous_conv_layers=2, continuous_conv_dim=8,
+        encoder_hiddens=(8,), decoder_hiddens=(8,), scale_factor=1e6,
+        radius_kmax=6, self_loops=True,
+    )
+    n, steps, dt = 48, 4, 1e-3
+    pos, vel, mass, variables = _setup(model, n, seed=9)
+    want = autoregressive_rollout(model, variables, pos, vel, mass, steps, dt)
+    got = sharded_contconv_rollout(model, variables, pos, vel, mass, steps,
+                                   dt, mesh8)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-4, atol=1e-6)
