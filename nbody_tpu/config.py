@@ -40,6 +40,9 @@ class DatagenConfig:
     train_files: int = 10
     test_files: int = 1
     seed: Optional[int] = None
+    force_backend: str = "auto"  # "dense" | "pallas" | "bh" | "bh2" | "auto"
+    bh_near: int = 32  # bh/bh2 ground-truth accuracy knob
+    bh_refresh: int = 1  # bh/bh2 partition refresh interval
 
 
 @dataclasses.dataclass

@@ -34,6 +34,16 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--bh-near", type=int, default=32)
     p.add_argument("--bh-refresh", type=int, default=8)
+    p.add_argument("--engine", default="bh", choices=["bh", "bh2"],
+                   help="bh2 = two-level coarse far field (the 1M+ engine)")
+    p.add_argument("--coarse", type=int, default=16)
+    p.add_argument("--rc", type=int, default=12)
+    p.add_argument("--chunk-steps", type=int, default=0,
+                   help="run the rollout as ceil(steps/chunk) sequential "
+                        "scans carrying only the end state between chunks "
+                        "- REQUIRED above ~300k bodies where the stacked "
+                        "(steps, N, 3) trajectory exceeds HBM (1M x 1000 "
+                        "steps would be 36 GB)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     enable_persistent_cache()
@@ -48,22 +58,41 @@ def main(argv=None):
     u0, k0 = exact_energy(pos, vel)
     cfg = SimulationConfig(
         g_const=G, softening=EPS, dt=DT, integrator="leapfrog",
-        calc_energy=False, force_backend="bh", bh_near=args.bh_near,
-        bh_refresh=args.bh_refresh,
+        calc_energy=False, force_backend=args.engine, bh_near=args.bh_near,
+        bh_refresh=args.bh_refresh, bh_coarse=args.coarse, bh_rc=args.rc,
     )
-    # warm compile, then the timed run (device_time closes the region with
-    # a completed readback — see utils.timing)
-    fetch_scalar(simulate(pos, vel, mass, args.steps, cfg).positions[-1])
-    traj, elapsed = device_time(
-        lambda: simulate(pos, vel, mass, args.steps, cfg))
+    if args.chunk_steps:
+        import time as _time
 
-    p_end = traj.positions[-1]
-    v_end = traj.velocities[-1]
+        n_chunks = -(-args.steps // args.chunk_steps)
+        # AOT-compile the chunk program without executing, then time the
+        # sequential chunk chain (state carried, trajectories discarded)
+        simulate.lower(pos, vel, mass, args.chunk_steps, cfg).compile()
+        t0 = _time.perf_counter()
+        p_end, v_end = pos, vel
+        for _ in range(n_chunks):
+            t = simulate(p_end, v_end, mass, args.chunk_steps, cfg)
+            p_end, v_end = t.positions[-1], t.velocities[-1]
+        fetch_scalar(p_end)
+        elapsed = _time.perf_counter() - t0
+        args.steps = n_chunks * args.chunk_steps
+    else:
+        # warm compile, then the timed run (device_time closes the region
+        # with a completed readback — see utils.timing)
+        fetch_scalar(simulate(pos, vel, mass, args.steps, cfg).positions[-1])
+        traj, elapsed = device_time(
+            lambda: simulate(pos, vel, mass, args.steps, cfg))
+        p_end = traj.positions[-1]
+        v_end = traj.velocities[-1]
     u1, k1 = exact_energy(p_end, v_end)
     e0, e1 = u0 + k0, u1 + k1
     row = {
         "n": args.n_bodies, "steps": args.steps, "dt": DT,
+        "engine": args.engine,
         "bh_near": args.bh_near, "bh_refresh": args.bh_refresh,
+        **({"coarse": args.coarse, "rc": args.rc}
+           if args.engine == "bh2" else {}),
+        **({"chunk_steps": args.chunk_steps} if args.chunk_steps else {}),
         "wall_s": round(elapsed, 3),
         "ms_per_step": round(elapsed / args.steps * 1e3, 3),
         "psteps_per_s": args.n_bodies * args.steps / elapsed,

@@ -63,6 +63,9 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--exact-cap", type=int, default=100_000,
                    help="skip the exact timing above this N")
+    p.add_argument("--error-cap", type=int, default=None,
+                   help="compute force-error tiers (ONE exact eval, no "
+                        "timing chain) up to this N; default = exact-cap")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     enable_persistent_cache()
@@ -73,12 +76,12 @@ def main(argv=None):
         fetch_scalar(pos)
         row = {"n": n, "n_near": args.n_near, "block": args.block}
 
+        error_cap = args.error_cap or args.exact_cap
         if n <= args.exact_cap:
             el = _timed_chain(
                 lambda p_: pallas_accelerations(p_, mass, G, EPS), pos,
                 args.reps)
             row["exact_ms"] = el * 1e3
-            exact = pallas_accelerations(pos, mass, G, EPS)
 
         if args.engine == "bh2":
             row.update(coarse=args.coarse, rc=args.rc)
@@ -129,7 +132,8 @@ def main(argv=None):
         el = _timed_chain(build, pos, args.reps)
         row["partition_ms"] = el * 1e3
 
-        if n <= args.exact_cap:
+        if n <= error_cap:
+            exact = pallas_accelerations(pos, mass, G, EPS)
             approx = fresh(pos)
             err = jnp.linalg.norm(approx - exact, axis=-1)
             mag = jnp.linalg.norm(exact, axis=-1)
@@ -138,8 +142,9 @@ def main(argv=None):
             row["rel_err_p99"] = float(jnp.percentile(rel, 99))
             row["err_over_rms_p99"] = float(
                 jnp.percentile(err / jnp.sqrt(jnp.mean(mag**2)), 99))
-            row["speedup_fresh"] = row["exact_ms"] / row["bh_fresh_ms"]
-            row["speedup_reused"] = row["exact_ms"] / row["bh_reused_ms"]
+            if "exact_ms" in row:
+                row["speedup_fresh"] = row["exact_ms"] / row["bh_fresh_ms"]
+                row["speedup_reused"] = row["exact_ms"] / row["bh_reused_ms"]
         rows.append(row)
         print(json.dumps(row), flush=True)
 

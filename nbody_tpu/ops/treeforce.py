@@ -735,13 +735,18 @@ def build_bh2_partition(
     sep2c = jnp.where(adjc, -1.0, sep2c)
     refined, _ = _select_k(sep2c, rc)
 
-    # fine near sets, restricted to refined parents
+    # fine near sets, restricted to refined parents. The (nb, nb) parent
+    # mask is expanded by broadcast+reshape, NOT by indexing with
+    # fine_par[:, None] — that (nb, nb) gather measured 157 ms of the
+    # 176 ms partition build at 1M (TPU gather pathology; the expansion
+    # is ~free).
     sep2f, _ = sep_matrix(spos, sm, nb, block)
     allowed_c = jnp.zeros((nbc, nbc), bool).at[
         jnp.arange(nbc)[:, None], refined
     ].set(True)
-    fine_par = jnp.arange(nb) // coarse
-    allowed = allowed_c[fine_par[:, None], fine_par[None, :]]
+    allowed = jnp.broadcast_to(
+        allowed_c[:, None, :, None], (nbc, coarse, nbc, coarse)
+    ).reshape(nb, nb)
     sep2f = jnp.where(allowed, sep2f, _INF)
     iif = jnp.arange(nb)
     adjf = jnp.abs(iif[:, None] - iif[None, :]) <= min(
