@@ -44,5 +44,11 @@ class CheckpointManager:
         tree = self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
         return step, tree
 
+    def delete(self, step: int) -> None:
+        """Remove a saved step — used by the elastic restart path to discard
+        a checkpoint whose restored state fails the finiteness health check
+        (e.g. written by a crashed/preempted process mid-divergence)."""
+        self._mgr.delete(step)
+
     def close(self):
         self._mgr.close()

@@ -491,6 +491,7 @@ class Trainer:
         merge_files: bool = False,
         mixed_batches: bool = False,
         batch_mode: Optional[str] = None,
+        lr_scale: Optional[float] = None,
     ) -> Tuple[List[float], List[float]]:
         """Reference ``train_from_dir`` (trainer.py:20-92). Returns
         (epoch_losses, epoch_mse_losses) — means over all batches.
@@ -528,6 +529,15 @@ class Trainer:
             self._try_resume(save_path, first_batch)
         else:
             self._ensure_state(first_batch)
+        if lr_scale is not None:
+            # post-resume LR adjustment (elastic restarts back off the LR to
+            # steer the re-run epoch away from the divergent trajectory)
+            lr = float(self.state.opt_state.hyperparams["learning_rate"])
+            if self.scheduler:
+                self.scheduler.lr = lr * lr_scale
+                self._set_lr(self.scheduler.lr)
+            else:
+                self._set_lr(lr * lr_scale)
 
         mgr = CheckpointManager(save_path) if (save_path and save_every > 0) else None
         epoch_losses: List[float] = []
@@ -594,14 +604,18 @@ class Trainer:
             self.epoch += 1
             if verbose:
                 print(f"Epoch {self.epoch}: loss {mean_loss:.6g}, mse {mean_mse:.6g}")
+            # on_epoch_end runs BEFORE the checkpoint save: a health-check
+            # callback (train/elastic.py) that raises on a non-finite state
+            # must prevent the corrupted epoch from being checkpointed, so
+            # the latest checkpoint is always a known-good rollback point.
+            if on_epoch_end is not None:
+                on_epoch_end(self.epoch, epoch_losses, epoch_mse_losses)
             if self.scheduler:
                 self._set_lr(self.scheduler.step(mean_loss))
             if mgr and save_every > 0 and (e + 1) % save_every == 0:
                 mgr.save(self.epoch, self._ckpt_tree())
                 if verbose:
                     print(f"Saved checkpoint at epoch {self.epoch}")
-            if on_epoch_end is not None:
-                on_epoch_end(self.epoch, epoch_losses, epoch_mse_losses)
         if mgr:
             mgr.close()
         return epoch_losses, epoch_mse_losses
