@@ -47,7 +47,7 @@ class SimulationConfig:
     # superblocks of bh_coarse fine blocks; bh_rc refined superblocks per
     # receiver group. Drops the O(N * nb) far term by ~bh_coarse at 1M+.
     bh_coarse: int = 16
-    bh_rc: int = 12
+    bh_rc: int = 32
 
     def __post_init__(self):
         if self.integrator not in INTEGRATORS:

@@ -33,11 +33,14 @@ def main(argv=None):
     p.add_argument("--n-bodies", type=int, default=100_000)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--bh-near", type=int, default=32)
+    p.add_argument("--block", type=int, default=256,
+                   help="fine Morton block size (128 is the measured 1M "
+                        "bh2 recipe: halved near volume per particle)")
     p.add_argument("--bh-refresh", type=int, default=8)
     p.add_argument("--engine", default="bh", choices=["bh", "bh2"],
                    help="bh2 = two-level coarse far field (the 1M+ engine)")
     p.add_argument("--coarse", type=int, default=16)
-    p.add_argument("--rc", type=int, default=12)
+    p.add_argument("--rc", type=int, default=32)
     p.add_argument("--chunk-steps", type=int, default=0,
                    help="run the rollout as ceil(steps/chunk) sequential "
                         "scans carrying only the end state between chunks "
@@ -59,7 +62,8 @@ def main(argv=None):
     cfg = SimulationConfig(
         g_const=G, softening=EPS, dt=DT, integrator="leapfrog",
         calc_energy=False, force_backend=args.engine, bh_near=args.bh_near,
-        bh_refresh=args.bh_refresh, bh_coarse=args.coarse, bh_rc=args.rc,
+        bh_block=args.block, bh_refresh=args.bh_refresh,
+        bh_coarse=args.coarse, bh_rc=args.rc,
     )
     if args.chunk_steps:
         import time as _time
@@ -89,7 +93,8 @@ def main(argv=None):
     row = {
         "n": args.n_bodies, "steps": args.steps, "dt": DT,
         "engine": args.engine,
-        "bh_near": args.bh_near, "bh_refresh": args.bh_refresh,
+        "bh_near": args.bh_near, "block": args.block,
+        "bh_refresh": args.bh_refresh,
         **({"coarse": args.coarse, "rc": args.rc}
            if args.engine == "bh2" else {}),
         **({"chunk_steps": args.chunk_steps} if args.chunk_steps else {}),

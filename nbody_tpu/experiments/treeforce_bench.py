@@ -58,7 +58,7 @@ def main(argv=None):
                         "(O(N*(M*B + N/(C*B) + rc*C)) — the 1M+ engine)")
     p.add_argument("--coarse", type=int, default=16,
                    help="bh2: fine blocks per superblock")
-    p.add_argument("--rc", type=int, default=12,
+    p.add_argument("--rc", type=int, default=32,
                    help="bh2: refined superblocks per receiver group")
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--exact-cap", type=int, default=100_000,

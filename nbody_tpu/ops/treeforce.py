@@ -676,7 +676,7 @@ def build_bh2_partition(
     n_near: int = 16,
     block: int = 256,
     coarse: int = 16,
-    rc: int = 12,
+    rc: int = 32,
     w: int = 1,
 ) -> BH2Partition:
     """Two-level partition: fine Morton blocks (padded to a multiple of
@@ -853,7 +853,7 @@ def bh2_accelerations(
     n_near: int = 16,
     block: int = 256,
     coarse: int = 16,
-    rc: int = 12,
+    rc: int = 32,
     i_chunk: int = 8,
     near_impl: str = "auto",
 ) -> jax.Array:
