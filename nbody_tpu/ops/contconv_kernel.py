@@ -67,19 +67,28 @@ def _collect_kernel(g3_ref, win_ref, featj_ref, f_ref, out_ref, *, d, zc):
     y0, fy = corner(gy)
     zc0, fz = corner(gz)
 
-    zi = jax.lax.broadcasted_iota(jnp.int32, (t, k, zc), 2)
-    oh = jnp.zeros((t, k, zc), jnp.float32)
-    for ox in (0, 1):
-        wx = fx if ox else 1.0 - fx
-        for oy in (0, 1):
-            wy = fy if oy else 1.0 - fy
-            for oz in (0, 1):
-                wz = fz if oz else 1.0 - fz
-                cell = ((x0 + ox) * d + (y0 + oy)) * d + (zc0 + oz) - z0
-                w = wx * wy * wz * win
-                oh = oh + jnp.where(
-                    cell[:, :, None] == zi, w[:, :, None], 0.0
-                )
+    # Separable one-hot build: the trilinear weight factorizes as
+    # wx(xi)*wy(yi)*wz(zi) over the cell's axis coordinates, so ONE pass of
+    # per-axis selector products over (T, k, Zc) replaces the original
+    # eight corner where-add passes. Measured 27.8 -> 22.5 ms at the 50k
+    # layer-1 config (same-session v5e) — less than the 8-pass arithmetic
+    # suggests because the build shares time with featj streaming. Cells
+    # past d^3 (zc padding) decompose to xi >= d, matching no selector
+    # -> exact zeros.
+    cell = jax.lax.broadcasted_iota(jnp.int32, (t, k, zc), 2) + z0
+    xi = cell // (d * d)
+    rem = cell - xi * (d * d)
+    yi = rem // d
+    zi3 = rem - yi * d
+
+    def sel(ax, c0, f):
+        c0 = c0[:, :, None]
+        f = f[:, :, None]
+        return jnp.where(ax == c0, 1.0 - f, 0.0) + jnp.where(
+            ax == c0 + 1, f, 0.0)
+
+    oh = (win[:, :, None] * sel(xi, x0, fx) * sel(yi, y0, fy)
+          * sel(zi3, zc0, fz))
 
     featj = featj_ref[...]  # (T, k, ci)
     ci = featj.shape[-1]
@@ -124,6 +133,17 @@ def contconv_collect(
     m, k = window.shape
     z, ci, co = filters.shape
     assert z == d * d * d
+
+    # Mosaic's (T, Zc, ci) -> (T, Zc*ci) shape cast requires the collapsed
+    # minor dims to preserve the 128-lane layout: ci=64 fails
+    # infer-vector-layout on real hardware (interpret mode hides it). Pad
+    # ci up to the lane width — zero feature columns hit zero filter rows,
+    # so the result is exact. Production configs (ci=dim=128) skip this.
+    if ci % 128:
+        cip = -(-ci // 128) * 128
+        feat_j = jnp.pad(feat_j, ((0, 0), (0, 0), (0, cip - ci)))
+        filters = jnp.pad(filters, ((0, 0), (0, cip - ci), (0, 0)))
+        ci = cip
 
     mp = -(-m // tile) * tile
     if mp != m:
