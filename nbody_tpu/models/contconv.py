@@ -51,6 +51,47 @@ def ball_to_cube(r: jax.Array) -> jax.Array:
     return r / (norm + 1e-8) * jnp.tanh(norm)
 
 
+def conv_geometry(pos, nbr_idx, nbr_valid, radius, tile=None):
+    """Shared per-step edge geometry for a stack of ContinuousConv layers.
+
+    Positions (and therefore the neighbor-position gather, the poly6
+    window and the ball->cube map) are fixed across the layers of one
+    model call, so a stack computes this once instead of per layer. With
+    ``tile`` set, the receiver (node) axis is padded up to a tile multiple
+    BEFORE any gather, so every downstream per-edge tensor — including
+    each layer's (B*N, k, ci) feature gather — is born tile-aligned for
+    the fused kernel; otherwise the kernel wrapper re-pads them with full
+    HBM copies (profiled: 2 x ~6 ms pads of a 1.6 GB feat_j at 100k
+    bodies on v5e). Padded receiver rows carry window == 0 and
+    in_radius == False, and are sliced off by the layer.
+
+    :return: dict with ``mapped`` (B, Na, k, 3), ``window`` / ``in_radius``
+        (B, Na, k), ``nbr_idx`` (B, Na, k), original ``n``, and ``radius``.
+    """
+    b, n, k = nbr_idx.shape
+    na = n if tile is None else -(-n // tile) * tile
+    if na != n:
+        nbr_idx = jnp.pad(nbr_idx, ((0, 0), (0, na - n), (0, 0)))
+        nbr_valid = jnp.pad(nbr_valid, ((0, 0), (0, na - n), (0, 0)))
+        pos_i = jnp.pad(pos, ((0, 0), (0, na - n), (0, 0)))
+    else:
+        pos_i = pos
+    pos_j = gather_neighbors(pos, nbr_idx)  # (B, Na, k, 3)
+    r = pos_j - pos_i[:, :, None, :]  # neighbor - center (contconv.py:84)
+    dist2 = jnp.sum(r * r, axis=-1)  # (B, Na, k)
+    r2 = jnp.asarray(radius, dist2.dtype) ** 2
+    in_radius = (dist2 < r2) & nbr_valid
+    window = jnp.where(in_radius, (1.0 - dist2 / r2) ** 3, 0.0)
+    return {
+        "mapped": ball_to_cube(r),
+        "window": window,
+        "in_radius": in_radius,
+        "nbr_idx": nbr_idx,
+        "n": n,
+        "radius": radius,
+    }
+
+
 class ContinuousConv(nn.Module):
     """One continuous-convolution layer (contconv.py:10-98).
 
@@ -71,10 +112,14 @@ class ContinuousConv(nn.Module):
     impl: Optional[str] = None  # None/"xla" | "pallas" | "pallas_interpret"
 
     @nn.compact
-    def __call__(self, pos, feat, nbr_idx, nbr_valid):
+    def __call__(self, pos, feat, nbr_idx, nbr_valid, geom=None):
         """:param pos: (B, N, 3) positions.
         :param feat: (B, N, ci) node features.
         :param nbr_idx/nbr_valid: (B, N, k) padded radius neighbor lists.
+        :param geom: optional precomputed :func:`conv_geometry` — a model
+            with several conv layers shares one (positions are fixed
+            within a step, so the window/ball-map work and the row-bound
+            neighbor-position gather are layer-invariant).
         :return: (B, N, co).
         """
         d = self.filter_resolution
@@ -84,34 +129,36 @@ class ContinuousConv(nn.Module):
             (d, d, d, self.in_channels, self.out_channels),
         )
 
-        b, n, k = nbr_idx.shape
-        pos_j = gather_neighbors(pos, nbr_idx)  # (B, N, k, 3)
-        r = pos_j - pos[:, :, None, :]  # neighbor - center (contconv.py:84)
-        dist2 = jnp.sum(r * r, axis=-1)  # (B, N, k)
-        r2 = jnp.asarray(self.radius, dist2.dtype) ** 2
-        in_radius = (dist2 < r2) & nbr_valid
-        window = jnp.where(in_radius, (1.0 - dist2 / r2) ** 3, 0.0)
+        is_pallas = self.impl in ("pallas", "pallas_interpret") and d >= 2
+        if geom is None:
+            geom = conv_geometry(pos, nbr_idx, nbr_valid, self.radius,
+                                 tile=64 if is_pallas else None)
+        else:
+            assert geom["radius"] == self.radius, (
+                "shared conv_geometry was built with a different radius")
+        mapped, window = geom["mapped"], geom["window"]
+        in_radius, nbr_idx, n = geom["in_radius"], geom["nbr_idx"], geom["n"]
+        b, na, k = nbr_idx.shape
 
-        mapped = ball_to_cube(r)  # (B, N, k, 3) in (-1, 1)
         grid_coords = (mapped + 1.0) * ((d - 1) / 2.0)  # contconv.py:90
-        feat_j = gather_neighbors(feat, nbr_idx)  # (B, N, k, ci)
+        feat_j = gather_neighbors(feat, nbr_idx)  # (B, Na, k, ci)
 
-        if self.impl in ("pallas", "pallas_interpret") and d >= 2:
+        if is_pallas:
             from nbody_tpu.ops.contconv_kernel import contconv_collect
 
             out = contconv_collect(
-                grid_coords.reshape(b * n, k, 3).transpose(2, 0, 1),
-                window.reshape(b * n, k),
-                feat_j.reshape(b * n, k, self.in_channels),
+                grid_coords.reshape(b * na, k, 3).transpose(2, 0, 1),
+                window.reshape(b * na, k),
+                feat_j.reshape(b * na, k, self.in_channels),
                 filters.reshape(d * d * d, self.in_channels,
                                 self.out_channels),
                 d=d,
                 interpret=self.impl == "pallas_interpret",
-            ).reshape(b, n, self.out_channels)
+            ).reshape(b, na, self.out_channels)
         else:
             cidx, cw = trilinear_corners(grid_coords.reshape(-1, 3), d)
-            cidx = cidx.reshape(b, n, k, 8)
-            cw = cw.reshape(b, n, k, 8)
+            cidx = cidx.reshape(b, na, k, 8)
+            cw = cw.reshape(b, na, k, 8)
             wf = feat_j * window[..., None]  # window pre-aggregation
 
             # Per-edge dense corner-weight row over the D^3 cells, then
@@ -119,7 +166,7 @@ class ContinuousConv(nn.Module):
             # scatter-add formulation measured ~13x slower: TPU
             # scatter-adds serialize.)
             cells = jnp.arange(d * d * d)
-            oh = jnp.zeros((b, n, k, d * d * d), feat.dtype)
+            oh = jnp.zeros((b, na, k, d * d * d), feat.dtype)
             for c in range(8):
                 oh = oh + (cidx[..., c, None] == cells) * cw[..., c, None]
             g = jnp.einsum("bnkz,bnki->bnzi", oh, wf)  # (B, N, D^3, ci)
@@ -140,7 +187,7 @@ class ContinuousConv(nn.Module):
             out = out / jnp.maximum(cnt, 1.0)
         elif self.agg != "sum":
             raise ValueError(f"unknown agg {self.agg!r}")
-        return out
+        return out[:, :n] if na != n else out
 
 
 class ContinuousConvModel(nn.Module):
@@ -214,6 +261,9 @@ class ContinuousConvModel(nn.Module):
         encoder_output = x
 
         resolutions = self._resolutions()
+        is_pallas = self.conv_impl in ("pallas", "pallas_interpret")
+        geom = conv_geometry(pos, nbr_idx, nbr_valid, self.radius,
+                             tile=64 if is_pallas else None)
         for i in range(self.continuous_conv_layers):
             ci = (
                 self.in_channels
@@ -227,7 +277,7 @@ class ContinuousConvModel(nn.Module):
                 radius=self.radius,
                 agg=self.agg,
                 impl=self.conv_impl,
-            )(pos, x, nbr_idx, nbr_valid)
+            )(pos, x, nbr_idx, nbr_valid, geom=geom)
             x = jnp.tanh(x)  # contconv.py:230
             if self.continuous_conv_dropout > 0:
                 x = nn.Dropout(
