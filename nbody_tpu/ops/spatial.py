@@ -233,11 +233,47 @@ def _merge_dedup(cand, d2, k, chunk=512):
 # ---------------------------------------------------------------------------
 
 
+def _pack_d2_cols(d2, cols, ncols):
+    """Pack (d2, col) into one f32 key: bitcast the non-negative f32
+    distance, clear the low ``nbits`` mantissa bits, OR in the column
+    index, and bitcast BACK to f32 — bit order equals numeric order for
+    non-negative floats, so f32 min reductions still work and stay on the
+    fast VPU path (an int32-keyed variant measured SLOWER than the f32
+    baseline: int lane reductions lose to f32). ONE packed min per
+    extraction pass then yields min, argmin, and — because the key is
+    UNIQUE per column — a single-column hit mask, replacing the
+    3-reduction min/argmin/first-tie dance of a plain f32 pass. Measured
+    at 100k bodies on v5e (B=256, C=4, warm): radius build k=32
+    125 -> 47 ms, kNN build k=10 50.5 -> 27 ms. Truncating <= 11 mantissa
+    bits perturbs the selection ordering only among candidates within
+    ~2^-12 relative distance; the recall bar (tests) is unaffected and
+    exact distances are recomputed by the radius caller anyway."""
+    nbits = max(int(ncols - 1).bit_length(), 1)
+    assert ncols <= 2048, "packed selection supports <= 2048 candidates"
+    # Clamp away zero/denormal distances: their packed keys would be
+    # denormals themselves, and flush-to-zero erases the column bits (all
+    # d2=0 keys then compare equal -> multi-column hits -> garbage ids).
+    # 2^-100 keeps ordering (any real distance dwarfs it) and lets exact
+    # ties (self edges) break uniquely by column.
+    d2 = jnp.maximum(d2, 2.0 ** -100)
+    bits = jax.lax.bitcast_convert_type(d2, jnp.int32)
+    packed = (bits & ~((1 << nbits) - 1)) | cols
+    return jax.lax.bitcast_convert_type(packed, jnp.float32), nbits
+
+
+def _unpack_d2(packed, nbits):
+    """Strip the column bits back out of a (stack of) packed f32 keys."""
+    bits = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        bits & ~((1 << nbits) - 1), jnp.float32
+    )
+
+
 def _select_kernel(k, include_self, q_ref, cl_ref, cc_ref, cr_ref,
                    gl_ref, gc_ref, gr_ref, ids_ref, d2_ref):
     """One (copy, block) grid step: distances of a (b, 3) query block against
-    its (3, 3b) candidate window, k-pass min-extraction, candidate ids via
-    one-hot lane reductions (TPU-safe: no gather)."""
+    its (3, 3b) candidate window, k packed-min extraction passes, candidate
+    ids via one-hot lane reductions (TPU-safe: no gather)."""
     b = q_ref.shape[1]
     cand = jnp.concatenate([cl_ref[0], cc_ref[0], cr_ref[0]], axis=1)  # (3,3b)
     gid = jnp.concatenate([gl_ref[0], gc_ref[0], gr_ref[0]], axis=1)  # (1,3b)
@@ -255,39 +291,47 @@ def _select_kernel(k, include_self, q_ref, cl_ref, cc_ref, cr_ref,
         # query row r is sorted row i*b + r == candidate column b + r
         bad |= cols == rows + b
     d2 = jnp.where(bad, _INF, jnp.maximum(d2, 0.0))
+    packed, nbits = _pack_d2_cols(d2, cols, 3 * b)
+    # _INF unpacks to ~f32max > 1e29, so extracted bad slots still fail the
+    # caller's `d2 < 1e29` validity filter.
 
     g_bcast = jnp.broadcast_to(gid, (b, 3 * b))
     ids, vals = [], []
     for _ in range(k):
-        mn = jnp.min(d2, axis=1, keepdims=True)  # (b, 1)
-        am = jnp.min(jnp.where(d2 == mn, cols, 3 * b), axis=1)  # first argmin
-        hit = cols == am[:, None]
+        mn = jnp.min(packed, axis=1, keepdims=True)  # (b, 1)
+        hit = packed == mn  # exactly one column: keys are unique
         ids.append(jnp.sum(jnp.where(hit, g_bcast, 0), axis=1))
         vals.append(mn[:, 0])
-        d2 = jnp.where(hit, _INF, d2)
+        packed = jnp.where(hit, _INF, packed)
     ids_ref[0] = jnp.stack(ids, axis=1)
-    d2_ref[0] = jnp.stack(vals, axis=1)
+    # one vectorized column-bit strip for all k extracted values
+    d2_ref[0] = _unpack_d2(jnp.stack(vals, axis=1), nbits)
 
 
 def _merge_kernel(k, cand_ref, d2_ref, ids_ref, val_ref):
-    """One row-chunk of the cross-copy merge: k-pass min-extraction with
-    *id masking* (every slot holding the picked id is masked, deduplicating
-    across copies for free — same semantics as ``_merge_dedup``)."""
+    """One row-chunk of the cross-copy merge: k packed-min extraction passes
+    with *id masking* (every slot holding the picked id is masked,
+    deduplicating across copies for free — same semantics as
+    ``_merge_dedup``). Duplicate slots of one id carry the same truncated
+    distance, so packing keeps dedup exact."""
     cc = cand_ref[:]  # (r, c4) int32
     dd = d2_ref[:]  # (r, c4) f32
     r, c4 = cc.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (r, c4), 1)
+    packed, nbits = _pack_d2_cols(jnp.maximum(dd, 0.0), cols, c4)
     ids, vals = [], []
     for _ in range(k):
-        mn = jnp.min(dd, axis=1, keepdims=True)
-        am = jnp.min(jnp.where(dd == mn, cols, c4), axis=1)
-        hit = cols == am[:, None]
+        mn = jnp.min(packed, axis=1, keepdims=True)
+        # Unique hit while candidates remain; once a row is exhausted every
+        # slot equals _INF and `pid` sums garbage — but the value is then
+        # >= 1e29, failing the `d2 < 1e29` validity filter downstream.
+        hit = packed == mn
         pid = jnp.sum(jnp.where(hit, cc, 0), axis=1)  # (r,)
         ids.append(pid)
         vals.append(mn[:, 0])
-        dd = jnp.where(cc == pid[:, None], _INF, dd)  # masks ALL duplicates
+        packed = jnp.where(cc == pid[:, None], _INF, packed)
     ids_ref[:] = jnp.stack(ids, axis=1)
-    val_ref[:] = jnp.stack(vals, axis=1)
+    val_ref[:] = _unpack_d2(jnp.stack(vals, axis=1), nbits)
 
 
 def _copy_passes_pallas(pos, k, block, n_copies, include_self, mask, interpret):
