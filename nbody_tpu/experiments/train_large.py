@@ -55,6 +55,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--neighbors", type=int, default=10)
     p.add_argument("--gnn-dim", type=int, default=64)
+    p.add_argument("--zero-init-output", action="store_true",
+                   help="zero-init the output head: the net starts at "
+                        "pred=0 (relative error 1.0) instead of O(1e-2) "
+                        "noise that dwarfs the ~1e-7-magnitude targets")
     p.add_argument("--rollout-steps", type=int, default=0,
                    help="surrogate rollout horizon for eval (0 = up to the "
                         "last recorded ground-truth snapshot)")
@@ -113,6 +117,7 @@ def main(argv=None):
         knn_method="morton", knn_impl="pallas" if on_tpu else "xla",
         fused_edgeconv=True,  # the (N, k, 2d) message tensor is the HBM
         # bottleneck at 20k+ bodies; same function & params (models/gnn.py)
+        zero_init_output=args.zero_init_output,
     )
     trainer = Trainer(
         model, learning_rate=args.lr, dt=DT, seed=0,
