@@ -146,8 +146,13 @@ class ContinuousConv(nn.Module):
         if is_pallas:
             from nbody_tpu.ops.contconv_kernel import contconv_collect
 
+            # per-axis coordinate planes (not a (M, k, 3) transpose — the
+            # slices fuse into the geometry producer, a strided minor-dim-3
+            # relayout does not)
+            gplanes = [grid_coords[..., a].reshape(b * na, k)
+                       for a in range(3)]
             out = contconv_collect(
-                grid_coords.reshape(b * na, k, 3).transpose(2, 0, 1),
+                *gplanes,
                 window.reshape(b * na, k),
                 feat_j.reshape(b * na, k, self.in_channels),
                 filters.reshape(d * d * d, self.in_channels,
