@@ -59,6 +59,13 @@ def main(argv=None):
                    help="zero-init the output head: the net starts at "
                         "pred=0 (relative error 1.0) instead of O(1e-2) "
                         "noise that dwarfs the ~1e-7-magnitude targets")
+    p.add_argument("--output-scale", type=float, default=1e6,
+                   help="net predicts y*scale and divides it out "
+                        "(models/gnn.py output_scale): Adam's scale-free "
+                        "steps cannot hold the ~1e-9 weight magnitudes raw "
+                        "1e-7 targets need — measured 6000x worse than "
+                        "predicting zero without this. 1.0 restores the "
+                        "reference's raw-target semantics")
     p.add_argument("--rollout-steps", type=int, default=0,
                    help="surrogate rollout horizon for eval (0 = up to the "
                         "last recorded ground-truth snapshot)")
@@ -118,6 +125,7 @@ def main(argv=None):
         fused_edgeconv=True,  # the (N, k, 2d) message tensor is the HBM
         # bottleneck at 20k+ bodies; same function & params (models/gnn.py)
         zero_init_output=args.zero_init_output,
+        output_scale=args.output_scale,
     )
     trainer = Trainer(
         model, learning_rate=args.lr, dt=DT, seed=0,
@@ -164,7 +172,13 @@ def main(argv=None):
     for i in range(b.x.shape[0]):
         sw.append(float(stepwise_loss(b.x[i][None], b.y[i][None])))
     stepwise = float(np.mean(sw))
-    print(f"stepwise scaled RMSE: {stepwise:.4f}", flush=True)
+    # the honesty baseline: a model that predicts zero scores exactly
+    # scale_factor * rms(y) on this loss — anything above it learned
+    # nothing (or worse); see ROUND3_NOTES.md on the raw-target pathology
+    zero_baseline = float(
+        model.scale_factor * np.sqrt((np.asarray(b.y) ** 2).mean()))
+    print(f"stepwise scaled RMSE: {stepwise:.4f} "
+          f"(predict-zero baseline {zero_baseline:.4f})", flush=True)
 
     # rollout vs BH ground truth + exact forces
     horizon = args.rollout_steps or int(step_idx[-1])
@@ -200,6 +214,10 @@ def main(argv=None):
     den = np.maximum(np.linalg.norm(a_exact, axis=1), 1e-30)
     acc_med = float(np.median(num / den))
     acc_rmse = float(np.sqrt((num ** 2).mean()))
+    # global relative error — |a| is heavy-tailed (hot galactic center,
+    # cold outskirts), so the per-particle median punishes noise at tiny
+    # |a| rows; error relative to the field's own RMS is the fair scalar
+    acc_rel_rmse = float(acc_rmse / np.sqrt((a_exact ** 2).mean()))
 
     result = {
         "n_bodies": n,
@@ -212,23 +230,28 @@ def main(argv=None):
         },
         "training": {
             "epochs": args.epochs, "batch_size": args.batch_size,
-            "lr": args.lr, "final_scaled_rmse": losses[-1],
+            "lr": args.lr, "output_scale": args.output_scale,
+            "final_scaled_rmse": losses[-1],
             "first_scaled_rmse": losses[0],
             "seconds_total": round(train_s, 1),
             "seconds_per_epoch": [round(w, 2) for w in epoch_walls],
         },
         "eval": {
             "stepwise_scaled_rmse": stepwise,
+            "predict_zero_baseline_scaled_rmse": zero_baseline,
             "rollout_horizon": horizon,
             "rollout_seconds": round(rollout_s, 2),
             "rollout_pos_rmse": rows,
             "final_acc_median_rel_err_vs_exact": acc_med,
             "final_acc_rmse_vs_exact": acc_rmse,
+            "final_acc_rel_rmse_vs_exact": acc_rel_rmse,
         },
     }
     print(json.dumps({"final_loss": losses[-1], "stepwise": stepwise,
+                      "zero_baseline": zero_baseline,
                       "final_pos_rmse": rows[-1]["pos_rmse"] if rows else None,
-                      "acc_med_rel_err": acc_med}), flush=True)
+                      "acc_med_rel_err": acc_med,
+                      "acc_rel_rmse": acc_rel_rmse}), flush=True)
 
     out = args.out or f"results/large_scale/train_{tag}.json"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)

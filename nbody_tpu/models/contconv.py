@@ -216,6 +216,9 @@ class ContinuousConvModel(nn.Module):
     scale_factor: float = 1.0
     radius_kmax: int = DEFAULT_RADIUS_KMAX
     zero_init_output: bool = False
+    output_scale: float = 1.0  # net output divided by this — see
+    # GraphModel.output_scale for why (Adam cannot reach the ~1e-9 weight
+    # scale raw ~1e-7 targets need); apply() stays in physical units
     radius_method: Optional[str] = None  # None/"exact" | "morton" (large N)
     radius_impl: Optional[str] = None  # morton backend: "xla" | "pallas"
     conv_impl: Optional[str] = None  # collect backend: None/"xla" (training,
@@ -292,10 +295,13 @@ class ContinuousConvModel(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5)(
             jnp.concatenate([encoder_output, x], axis=-1)
         )  # contconv.py:233
-        return OutputHead(
+        out = OutputHead(
             self.decoder_hiddens, self.out_channels,
             zero_init=self.zero_init_output,
         )(x)
+        if self.output_scale != 1.0:
+            out = out / jnp.asarray(self.output_scale, out.dtype)
+        return out
 
     def get_config(self):
         return {
@@ -315,4 +321,5 @@ class ContinuousConvModel(nn.Module):
             "scale_factor": self.scale_factor,
             "radius_kmax": self.radius_kmax,
             "zero_init_output": self.zero_init_output,
+            "output_scale": self.output_scale,
         }

@@ -101,6 +101,15 @@ class GraphModel(nn.Module):
     neighbors: int = 50
     scale_factor: float = 1.0
     zero_init_output: bool = False
+    output_scale: float = 1.0  # the net's raw output is divided by this,
+    # so with output_scale=1e6 the trainable weights produce O(0.1)-scale
+    # values for ~1e-7-magnitude acceleration targets. Without it, Adam's
+    # scale-free steps (~lr per weight) can never settle at the ~1e-9
+    # weight magnitudes raw targets require — measured at 20k bodies the
+    # raw-target model trains to 6000x WORSE than predicting zero
+    # (ROUND3_NOTES.md; the reference has the same pathology at 500
+    # bodies: its converged scaled loss ~= its predict-zero baseline).
+    # apply() still returns physical accelerations.
     knn_approx: bool = False  # legacy alias for knn_method="approx"
     knn_method: Optional[str] = None  # None/"exact" | "approx" | "morton";
     # "morton" is the O(N·W) large-N search (ops/spatial.py) that makes
@@ -155,10 +164,13 @@ class GraphModel(nn.Module):
 
         x = jnp.concatenate([encoder_output, x], axis=-1)  # gnn.py:144
         x = nn.LayerNorm(epsilon=1e-5)(x)  # torch default eps
-        return OutputHead(
+        out = OutputHead(
             self.output_hiddens, self.output_dim,
             zero_init=self.zero_init_output,
         )(x)
+        if self.output_scale != 1.0:
+            out = out / jnp.asarray(self.output_scale, out.dtype)
+        return out
 
     def get_config(self):
         """Parity with ``GraphModel.get_config`` (gnn.py:116-128)."""
@@ -174,4 +186,5 @@ class GraphModel(nn.Module):
             "neighbors": self.neighbors,
             "scale_factor": self.scale_factor,
             "zero_init_output": self.zero_init_output,
+            "output_scale": self.output_scale,
         }

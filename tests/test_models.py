@@ -250,3 +250,36 @@ def test_fused_edgeconv_matches_unfused(aggr):
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_ref), rtol=2e-4, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("cls", [GraphModel, ContinuousConvModel])
+def test_output_scale_semantics(cls):
+    """output_scale divides the net's raw output so apply() stays in
+    physical units: same params at scale s vs 1.0 differ by exactly 1/s,
+    and zero_init_output still yields exactly zero. (The scale exists
+    because Adam's scale-free steps cannot hold the ~1e-9 weight
+    magnitudes that raw ~1e-7-magnitude targets require — see
+    models/gnn.py.)"""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 12, 7)).astype(np.float32))
+    k = 3
+    idx = jnp.asarray(rng.integers(0, 12, (1, 12, k)).astype(np.int32))
+    valid = jnp.ones((1, 12, k), bool)
+    if cls is GraphModel:
+        kw = dict(input_dim=4, gnn_dim=8, message_passing_steps=1,
+                  neighbors=k, scale_factor=1e6)
+    else:
+        kw = dict(in_channels=4, out_channels=3, filter_resolution=(3,),
+                  radius=1.0, continuous_conv_layers=1,
+                  continuous_conv_dim=8, encoder_hiddens=(8,),
+                  decoder_hiddens=(8,), scale_factor=1e6)
+    m1 = cls(**kw, output_scale=1.0)
+    ms = cls(**kw, output_scale=1e6)
+    variables = m1.init(jax.random.PRNGKey(1), x, idx, valid)
+    o1 = np.asarray(m1.apply(variables, x, idx, valid))
+    os_ = np.asarray(ms.apply(variables, x, idx, valid))
+    np.testing.assert_allclose(os_ * 1e6, o1, rtol=1e-6)
+
+    mz = cls(**kw, output_scale=1e6, zero_init_output=True)
+    vz = mz.init(jax.random.PRNGKey(1), x, idx, valid)
+    assert float(np.abs(np.asarray(mz.apply(vz, x, idx, valid))).max()) == 0.0
