@@ -130,7 +130,10 @@ def _frontier():
               n * steps / el, 500 / 2.84e-3)
 
     def contconv_100k():
-        n, steps = 100_000, 10
+        # 40 steps: at 10, the startup graph build + segment padding
+        # dominate (the rollout pays (steps//refresh + 1) extra builds
+        # and one extra forward relative to `steps` counted steps)
+        n, steps = 100_000, 40
         from nbody_tpu.models import ContinuousConvModel
         from nbody_tpu.train.graphs import build_graph
         from nbody_tpu.train.rollout import autoregressive_rollout

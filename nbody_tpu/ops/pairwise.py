@@ -17,10 +17,11 @@ the multi-device ring (``nbody_tpu.parallel.ring``), where I and J are
 different shards of the global particle array.
 
 The kernel is VPU-compute-bound (one rsqrt per pair). Measured tile sweep at
-N=102400 (v5e, forced-readback timing): (256,1024) 0.130 Tpairs/s |
-(512,1024) 0.134 | (1024,1024) 0.139 | (1024,2048) VMEM OOM (scoped 24M >
-16M). Defaults stay (256,1024): within 7% of the best and far from the VMEM
-ceiling for every shape.
+N=102400 (v5e, forced-readback timing), after the diagonal-mask removal:
+(256,1024) 0.162 Tpairs/s | (1024,1024) 0.171 | (1024,2048) VMEM OOM
+(scoped 24M > 16M). (Pre-removal: 0.130 / 0.139.) Defaults stay
+(256,1024): within 6% of the best and far from the VMEM ceiling for every
+shape.
 """
 
 from __future__ import annotations
@@ -55,14 +56,11 @@ def _force_kernel(fscal_ref, delta_ref, pos_i_ref, posT_j_ref, massT_j_ref, acc_
     massT_j_ref: VMEM (1, TJ)   source-tile masses (already validity-masked)
     acc_ref:     VMEM (TI, 3)   accumulated over the j grid dimension
     """
-    i = pl.program_id(0)
     j = pl.program_id(1)
-    ti = acc_ref.shape[0]
-    tj = posT_j_ref.shape[1]
 
     g = fscal_ref[0]
     eps = fscal_ref[1]
-    delta = delta_ref[0]
+    del delta_ref  # see the no-mask note below
 
     xi = pos_i_ref[:, 0:1]  # (TI, 1)
     yi = pos_i_ref[:, 1:2]
@@ -78,12 +76,16 @@ def _force_kernel(fscal_ref, delta_ref, pos_i_ref, posT_j_ref, massT_j_ref, acc_
     inv = jax.lax.rsqrt(jnp.maximum(d2, _D2_FLOOR))
     w = inv * inv * inv * massT_j_ref[0:1, :]  # (TI, TJ)
 
-    # Zero the self-interaction: local (row - col) == delta marks the global
-    # diagonal (simulation.py:85). For cross-shard ring blocks |delta| >= TJ
-    # so nothing is masked — exactly right.
-    row_l = i * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
-    col_l = j * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-    w = jnp.where(row_l - col_l == delta, 0.0, w)
+    # NO self-interaction mask: the reference zeroes the diagonal weight
+    # (simulation.py:85), but the self-pair's force contribution is
+    # w * dx == w * 0 == 0 identically — _D2_FLOOR keeps w finite even at
+    # softening 0, so the product is an exact zero either way (the
+    # treeforce near pass has always relied on this cancellation via
+    # diag_delta > every local offset). Dropping the two per-pair iotas +
+    # compare + select measured +23% kernel throughput at N=102400
+    # (0.139 -> 0.171 Tpairs/s at tiles (1024,1024); defaults 0.130 ->
+    # 0.162); delta stays in the signature so callers and the energy
+    # kernel keep one ABI.
 
     # Reduce over the j lane axis per coordinate. (An MXU contraction
     # w @ [pos_j | 1] was tried here; it loses ~1e-4 relative accuracy to
