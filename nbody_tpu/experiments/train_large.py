@@ -44,6 +44,11 @@ def main(argv=None):
     enable_persistent_cache()
 
     p = argparse.ArgumentParser()
+    p.add_argument("--model", default="gnn", choices=["gnn", "contconv"],
+                   help="surrogate family. contconv trains on the "
+                        "differentiable XLA collect layer (the fused Pallas "
+                        "kernel has no VJP) and evaluates its rollout on "
+                        "the kernel")
     p.add_argument("--n-bodies", type=int, default=20_000)
     p.add_argument("--train-scenes", type=int, default=2)
     p.add_argument("--steps", type=int, default=400)
@@ -118,15 +123,38 @@ def main(argv=None):
 
     # --- stage 2: train --------------------------------------------------
     on_tpu = jax.default_backend() == "tpu"
-    model = GraphModel(
-        input_dim=4, gnn_dim=args.gnn_dim, message_passing_steps=2,
-        aggr="mean", neighbors=args.neighbors, scale_factor=1e6,
-        knn_method="morton", knn_impl="pallas" if on_tpu else "xla",
-        fused_edgeconv=True,  # the (N, k, 2d) message tensor is the HBM
-        # bottleneck at 20k+ bodies; same function & params (models/gnn.py)
-        zero_init_output=args.zero_init_output,
-        output_scale=args.output_scale,
-    )
+    if args.model == "contconv":
+        from nbody_tpu.models import ContinuousConvModel
+
+        # reference recipe (contconv_experiment.py:62-76) + the large-N
+        # switches: Morton radius search, output_scale. Training runs the
+        # differentiable XLA collect; `rollout_model` below swaps the
+        # fused Pallas kernel in for inference (identical param tree).
+        def _contconv(conv_impl):
+            return ContinuousConvModel(
+                in_channels=4, out_channels=3, filter_resolution=(6, 4),
+                radius=1.0, agg="mean", self_loops=True,
+                continuous_conv_layers=2, continuous_conv_dim=128,
+                encoder_hiddens=(32, 64), decoder_hiddens=(64, 32),
+                scale_factor=1e6, radius_method="morton",
+                radius_impl="pallas" if on_tpu else "xla",
+                zero_init_output=args.zero_init_output,
+                output_scale=args.output_scale, conv_impl=conv_impl,
+            )
+
+        model = _contconv(None)
+        rollout_model = _contconv("pallas" if on_tpu else None)
+    else:
+        model = GraphModel(
+            input_dim=4, gnn_dim=args.gnn_dim, message_passing_steps=2,
+            aggr="mean", neighbors=args.neighbors, scale_factor=1e6,
+            knn_method="morton", knn_impl="pallas" if on_tpu else "xla",
+            fused_edgeconv=True,  # the (N, k, 2d) message tensor is the HBM
+            # bottleneck at 20k+ bodies; same function & params
+            zero_init_output=args.zero_init_output,
+            output_scale=args.output_scale,
+        )
+        rollout_model = model
     trainer = Trainer(
         model, learning_rate=args.lr, dt=DT, seed=0,
         scheduler=PlateauScheduler(lr=args.lr, factor=0.25, patience=5),
@@ -187,7 +215,7 @@ def main(argv=None):
     mass = jnp.asarray(traj.mass)
     t0 = time.perf_counter()
     ps, vs, accs = autoregressive_rollout(
-        model, variables, pos0, vel0, mass,
+        rollout_model, variables, pos0, vel0, mass,
         horizon + 1, DT, graph_refresh=args.graph_refresh,
     )
     ps_np = np.asarray(ps)
@@ -221,6 +249,7 @@ def main(argv=None):
 
     result = {
         "n_bodies": n,
+        "model": args.model,
         "device": jax.devices()[0].platform,
         "dataset": {
             "train_scenes": args.train_scenes, "steps": args.steps,
@@ -253,7 +282,8 @@ def main(argv=None):
                       "acc_med_rel_err": acc_med,
                       "acc_rel_rmse": acc_rel_rmse}), flush=True)
 
-    out = args.out or f"results/large_scale/train_{tag}.json"
+    mtag = "" if args.model == "gnn" else f"_{args.model}"
+    out = args.out or f"results/large_scale/train_{tag}{mtag}.json"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
