@@ -45,10 +45,16 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="gnn", choices=["gnn", "contconv"],
-                   help="surrogate family. contconv trains on the "
-                        "differentiable XLA collect layer (the fused Pallas "
-                        "kernel has no VJP) and evaluates its rollout on "
-                        "the kernel")
+                   help="surrogate family. contconv trains on the XLA "
+                        "collect layer by default and evaluates its "
+                        "rollout on the fused Pallas kernel")
+    p.add_argument("--conv-impl", default=None,
+                   choices=["xla", "pallas"],
+                   help="contconv TRAINING collect backend. 'pallas' "
+                        "trains through the kernel's custom VJP (exact "
+                        "parameter grads, no multi-GB XLA collect "
+                        "intermediates) — required to fit 100k-body "
+                        "ContConv training on one chip")
     p.add_argument("--n-bodies", type=int, default=20_000)
     p.add_argument("--train-scenes", type=int, default=2)
     p.add_argument("--steps", type=int, default=400)
@@ -142,7 +148,8 @@ def main(argv=None):
                 output_scale=args.output_scale, conv_impl=conv_impl,
             )
 
-        model = _contconv(None)
+        train_impl = None if args.conv_impl in (None, "xla") else "pallas"
+        model = _contconv(train_impl)
         rollout_model = _contconv("pallas" if on_tpu else None)
     else:
         model = GraphModel(

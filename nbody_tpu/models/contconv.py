@@ -96,13 +96,16 @@ class ContinuousConv(nn.Module):
     """One continuous-convolution layer (contconv.py:10-98).
 
     ``impl`` selects the collect backend: ``None``/"xla" is the
-    collect-then-matmul einsum formulation (differentiable — the training
-    path); "pallas"/"pallas_interpret" is the fused VMEM-resident kernel
+    collect-then-matmul einsum formulation (fully differentiable);
+    "pallas"/"pallas_interpret" is the fused VMEM-resident kernel
     (``ops/contconv_kernel.py``) that never materialises the (B, N, k, D^3)
-    one-hot or (B, N, D^3, ci) corner-bin HBM intermediates — the rollout
-    path at large N (inference-only: no VJP). Both compute the same
-    function; parity is pinned by
-    tests/test_models.py::test_contconv_fused_kernel_matches_xla."""
+    one-hot or (B, N, D^3, ci) corner-bin HBM intermediates — the large-N
+    path. The kernel carries an exact custom VJP for parameters (filters
+    and everything upstream through the gathered features) with ZERO
+    cotangents for geometry — i.e. training through it is exact, but
+    gradients w.r.t. POSITIONS require the XLA impl. Parity pinned by
+    tests/test_models.py::test_contconv_fused_kernel_matches_xla and
+    ::test_contconv_kernel_param_grads_match_xla."""
 
     in_channels: int
     out_channels: int
@@ -221,9 +224,10 @@ class ContinuousConvModel(nn.Module):
     # scale raw ~1e-7 targets need); apply() stays in physical units
     radius_method: Optional[str] = None  # None/"exact" | "morton" (large N)
     radius_impl: Optional[str] = None  # morton backend: "xla" | "pallas"
-    conv_impl: Optional[str] = None  # collect backend: None/"xla" (training,
-    # differentiable) | "pallas"/"pallas_interpret" (fused VMEM kernel,
-    # inference-only — ops/contconv_kernel.py)
+    conv_impl: Optional[str] = None  # collect backend: None/"xla" (fully
+    # differentiable) | "pallas"/"pallas_interpret" (fused VMEM kernel —
+    # exact parameter grads via its custom VJP, zero position grads;
+    # ops/contconv_kernel.py)
 
     @property
     def graph_spec(self):

@@ -47,9 +47,17 @@ layer at 20k bodies: rel l2 4.1e-3 (both paths' MXU inputs are
 bf16-rounded in different orders; each sits ~3.7e-3 from a forced-f32
 trace).
 
-The kernel is inference-only (no VJP is defined): training runs the XLA
-layer, rollouts run this one. Equality vs the XLA layer is pinned by
-``tests/test_models.py::test_contconv_fused_kernel_matches_xla``.
+TRAINING (custom VJP): the kernel carries an exact VJP for ``feat_j``
+and ``filters`` — the only inputs that depend on model parameters — and
+returns ZERO cotangents for the geometry inputs (gx/gy/gz/window), which
+are pure functions of particle positions, i.e. of the data. Parameter
+gradients are therefore EXACT (pinned against the XLA layer's grads by
+``tests/test_models.py::test_contconv_kernel_param_grads_match_xla``);
+differentiating through the kernel w.r.t. POSITIONS silently yields
+zero — use the XLA layer (``conv_impl=None``) for that. The backward
+recomputes the per-tile edge factors instead of saving any (B, N, k, .)
+residual, so training at 100k bodies fits where the XLA collect's
+multi-GB saved intermediates cannot.
 """
 
 from __future__ import annotations
@@ -61,40 +69,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_VMEM_CAP = 64 * 1024 * 1024
 
-def _collect_kernel(gx_ref, gy_ref, gz_ref, win_ref, featj_ref, f_ref,
-                    out_ref, *, d, c2):
-    t, k = win_ref.shape
-    l0 = pl.program_id(0) * c2  # first xy-lane of this chunk
 
-    # Tent formulation of the per-axis lerp weights: for grid coords
-    # clamped to [0, d-1] (exactly what ops/interpolate.py:29 does on the
-    # XLA path), the linear-interpolation weight of integer cell x at
-    # coordinate g is max(0, 1 - |g - x|).
-    def tent(u):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(u))
+def _tent(u):
+    """Per-axis lerp weight for clamped grid coords: max(0, 1 - |u|)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u))
 
+
+def _edge_factors(gx_ref, gy_ref, gz_ref, win_ref, *, d, c2, l0, ci):
+    """Shared per-tile edge factors: ``wxy`` (T, k, c2) window-folded
+    bilinear weights on the chunk's xy lanes, and ``tzv`` (T, k, d*ci)
+    z-axis tent weights tiled over the lane-padded channel groups (built
+    rank-3 because Mosaic rejects rank-4 (T,k,d,1)x(T,k,1,ci) broadcast
+    shape casts)."""
     gx = jnp.clip(gx_ref[...], 0.0, float(d - 1))  # (T, k)
     gy = jnp.clip(gy_ref[...], 0.0, float(d - 1))
     gz = jnp.clip(gz_ref[...], 0.0, float(d - 1))
     win = win_ref[...]
 
-    # per-edge bilinear weights on the chunk's xy lanes: lane l = x*d + y
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c2), 2) + l0
     lx = (lane2 // d).astype(jnp.float32)
     ly = (lane2 - (lane2 // d) * d).astype(jnp.float32)
-    wxy = (win[:, :, None] * tent(gx[:, :, None] - lx)
-           * tent(gy[:, :, None] - ly))  # (T, k, c2)
+    wxy = (win[:, :, None] * _tent(gx[:, :, None] - lx)
+           * _tent(gy[:, :, None] - ly))  # (T, k, c2)
 
-    # z-axis lerp folded into the features: fz[t, k, z*ci + c] — built
-    # rank-3 (lane-tiled concat + a lane-indexed tent) because Mosaic
-    # rejects the rank-4 (T,k,d,1)x(T,k,1,ci) broadcast shape casts
+    zl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d * ci), 2) // ci
+    tzv = _tent(gz[:, :, None] - zl.astype(jnp.float32))  # (T, k, d*ci)
+    return wxy, tzv
+
+
+def _collect_kernel(gx_ref, gy_ref, gz_ref, win_ref, featj_ref, f_ref,
+                    out_ref, *, d, c2):
+    t, k = win_ref.shape
+    l0 = pl.program_id(0) * c2  # first xy-lane of this chunk
     featj = featj_ref[...]  # (T, k, ci), f32 or bf16
     ci = featj.shape[-1]
     mxu_t = featj.dtype  # bf16 feat_j => bf16 MXU operands throughout
+
+    wxy, tzv = _edge_factors(gx_ref, gy_ref, gz_ref, win_ref,
+                             d=d, c2=c2, l0=l0, ci=ci)
+    # z-axis lerp folded into the features: fz[t, k, z*ci + c]
     featd = jnp.concatenate([featj] * d, axis=-1)  # (T, k, d*ci)
-    zl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d * ci), 2) // ci
-    fz = featd * tent(gz[:, :, None] - zl.astype(jnp.float32)).astype(mxu_t)
+    fz = featd * tzv.astype(mxu_t)
 
     g = jax.lax.dot_general(  # (T, c2, d*ci): contract k, batch T
         wxy.astype(mxu_t), fz, (((1,), (1,)), ((0,), (0,))),
@@ -104,6 +121,227 @@ def _collect_kernel(gx_ref, gy_ref, gz_ref, win_ref, featj_ref, f_ref,
         g.reshape(t, c2 * d * ci).astype(mxu_t), f_ref[0],
         preferred_element_type=jnp.float32,
     )
+
+
+def _bwd_filters_kernel(gx_ref, gy_ref, gz_ref, win_ref, featj_ref,
+                        dout_ref, df_ref, *, d, c2):
+    """dF[x, co] += g[t, x]^T dout[t, co] — ``g`` recomputed per tile
+    exactly as the forward builds it, accumulated across node tiles into
+    the VMEM-resident (c2*d*ci, co) block (grid (n2, nt), i innermost =>
+    consecutive revisits of the same j block are safe to accumulate)."""
+    t, k = win_ref.shape
+    l0 = pl.program_id(0) * c2
+    i = pl.program_id(1)
+    featj = featj_ref[...]
+    ci = featj.shape[-1]
+
+    wxy, tzv = _edge_factors(gx_ref, gy_ref, gz_ref, win_ref,
+                             d=d, c2=c2, l0=l0, ci=ci)
+    featd = jnp.concatenate([featj] * d, axis=-1)
+    fz = featd * tzv
+    g = jax.lax.dot_general(
+        wxy, fz, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(t, c2 * d * ci)
+
+    part = jax.lax.dot_general(  # (X, co): contract the tile axis
+        g, dout_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        df_ref[0] = jnp.zeros_like(df_ref[0])
+
+    df_ref[0] = df_ref[0] + part
+
+
+def _bwd_feat_kernel(gx_ref, gy_ref, gz_ref, win_ref, dout_ref, fT_ref,
+                     dfeat_ref, *, d, c2):
+    """dfeat[t, k, c] = sum_{l, z} wxy[t,k,l] tz[t,k,z] dG[t, l, z*ci+c]
+    with dG = dout @ F^T, computed per tile with no HBM intermediates:
+      dG (T, X)        = dout (T, co) @ F^T (co, X)               (MXU)
+      A  (T, k, d*ci)  = batched-contract_l(wxy, dG3)             (MXU)
+      dfeat            = sum_z (A * tzv)[:, :, z*ci:(z+1)*ci]     (VPU,
+                         static 128-aligned lane slices)"""
+    t, k = win_ref.shape
+    l0 = pl.program_id(0) * c2
+    ci = dfeat_ref.shape[-1]
+
+    wxy, tzv = _edge_factors(gx_ref, gy_ref, gz_ref, win_ref,
+                             d=d, c2=c2, l0=l0, ci=ci)
+    dg = jnp.dot(dout_ref[...], fT_ref[0],
+                 preferred_element_type=jnp.float32)  # (T, c2*d*ci)
+    a = jax.lax.dot_general(  # (T, k, d*ci): contract c2 lanes, batch T
+        wxy, dg.reshape(t, c2, d * ci), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    b = a * tzv
+    acc = b[:, :, 0:ci]
+    for z in range(1, d):
+        acc = acc + b[:, :, z * ci:(z + 1) * ci]
+    dfeat_ref[0] = acc
+
+
+def _prep(gx, gy, gz, window, feat_j, filters, d, tile, chunk):
+    """Shared padding/chunk policy for the forward and backward calls."""
+    assert d >= 2, "kernel assumes d >= 2 (use the XLA path for d < 2)"
+    m, k = window.shape
+    z, ci0, co = filters.shape
+    d2 = d * d
+    assert z == d * d * d
+
+    # Mosaic's minor-dims shape casts ((T,k,d,ci)->(T,k,d*ci) and
+    # (T,c2,d*ci)->(T,c2*d*ci)) require the collapsed minor dims to
+    # preserve the 128-lane layout: ci=64 fails infer-vector-layout on real
+    # hardware (interpret mode hides it). Pad ci up to the lane width —
+    # zero feature columns hit zero filter rows, so the result is exact.
+    # Production configs (ci=dim=128) skip this.
+    ci = ci0
+    if ci % 128:
+        ci = -(-ci // 128) * 128
+        feat_j = jnp.pad(feat_j, ((0, 0), (0, 0), (0, ci - ci0)))
+        filters = jnp.pad(filters, ((0, 0), (0, ci - ci0), (0, 0)))
+
+    mp = -(-m // tile) * tile
+    if mp != m:
+        pad = mp - m
+        gx = jnp.pad(gx, ((0, pad), (0, 0)))
+        gy = jnp.pad(gy, ((0, pad), (0, 0)))
+        gz = jnp.pad(gz, ((0, pad), (0, 0)))
+        window = jnp.pad(window, ((0, pad), (0, 0)))
+        feat_j = jnp.pad(feat_j, ((0, pad), (0, 0), (0, 0)))
+    nt = mp // tile
+
+    if chunk is None:
+        # single pass unless the double-buffered filter chunk would blow
+        # the VMEM budget (~32 MB of the 64 MB cap below)
+        chunk = d2
+        while chunk > 8 and 2 * chunk * d * ci * co * 4 > _VMEM_CAP // 2:
+            chunk = -(-chunk // 2)
+    chunk = min(chunk, d2)
+    d2p = -(-d2 // chunk) * chunk
+    n2 = d2p // chunk
+    # filter rows are (x, y, z, ci)-ordered; chunking over xy keeps each
+    # chunk a contiguous row block of d*ci rows per cell-plane
+    f_flat = jnp.pad(
+        filters.astype(feat_j.dtype).reshape(d2, d * ci, co),
+        ((0, d2p - d2), (0, 0), (0, 0)),
+    ).reshape(n2, chunk * d * ci, co)
+    return dict(gx=gx, gy=gy, gz=gz, window=window, feat_j=feat_j,
+                f_flat=f_flat, m=m, k=k, mp=mp, nt=nt, chunk=chunk, n2=n2,
+                ci=ci, ci0=ci0, co=co)
+
+
+def _collect_impl(gx, gy, gz, window, feat_j, filters, d, tile, chunk,
+                  interpret):
+    p = _prep(gx, gy, gz, window, feat_j, filters, d, tile, chunk)
+    chunk, n2, nt, mp, k = p["chunk"], p["n2"], p["nt"], p["mp"], p["k"]
+    ci, co = p["ci"], p["co"]
+    xrows = chunk * d * ci
+
+    out = pl.pallas_call(
+        partial(_collect_kernel, d=d, c2=chunk),
+        grid=(n2, nt),
+        in_specs=[
+            pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
+            pl.BlockSpec((tile, k, ci), lambda j, i: (i, 0, 0)),
+            pl.BlockSpec((1, xrows, co), lambda j, i: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, co), lambda j, i: (j, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n2, mp, co), jnp.float32),
+        # the batched contract + reshape push the Mosaic stack past the
+        # default 16 MB scoped-vmem limit at ci=co=128; v5e has far more
+        # physical VMEM, so raise the cap instead of shrinking tiles
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=interpret,
+    )(p["gx"], p["gy"], p["gz"], p["window"], p["feat_j"], p["f_flat"])
+    return jnp.sum(out, axis=0)[: p["m"]] if n2 > 1 else out[0, : p["m"]]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _collect(gx, gy, gz, window, feat_j, filters, d, tile, chunk, interpret):
+    return _collect_impl(gx, gy, gz, window, feat_j, filters, d, tile,
+                         chunk, interpret)
+
+
+def _collect_fwd_rule(gx, gy, gz, window, feat_j, filters, d, tile, chunk,
+                      interpret):
+    out = _collect_impl(gx, gy, gz, window, feat_j, filters, d, tile,
+                        chunk, interpret)
+    # residuals are the INPUTS only — the backward recomputes the edge
+    # factors per tile, so nothing (B, N, k, .)-shaped is ever saved
+    return out, (gx, gy, gz, window, feat_j, filters)
+
+
+def _collect_bwd_rule(d, tile, chunk, interpret, res, dout):
+    gx, gy, gz, window, feat_j, filters = res
+    p = _prep(gx, gy, gz, window, feat_j,
+              filters.astype(jnp.float32), d, tile, chunk)
+    chunk, n2, nt, mp, k = p["chunk"], p["n2"], p["nt"], p["mp"], p["k"]
+    ci, ci0, co = p["ci"], p["ci0"], p["co"]
+    m = p["m"]
+    d2 = d * d
+    xrows = chunk * d * ci
+    doutp = jnp.pad(dout.astype(jnp.float32), ((0, mp - m), (0, 0)))
+    featp = p["feat_j"].astype(jnp.float32)
+
+    common_specs = [
+        pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
+        pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
+        pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
+        pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
+    ]
+
+    dfl = pl.pallas_call(
+        partial(_bwd_filters_kernel, d=d, c2=chunk),
+        grid=(n2, nt),
+        in_specs=common_specs + [
+            pl.BlockSpec((tile, k, ci), lambda j, i: (i, 0, 0)),
+            pl.BlockSpec((tile, co), lambda j, i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, xrows, co), lambda j, i: (j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n2, xrows, co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=interpret,
+    )(p["gx"], p["gy"], p["gz"], p["window"], featp, doutp)
+    # (n2, chunk*d*ci, co) -> (d^3, ci, co), dropping chunk padding
+    dfilters = (
+        dfl.reshape(n2 * chunk, d * ci, co)[:d2]
+        .reshape(d2 * d, ci, co)[:, :ci0, :]
+        .astype(filters.dtype)
+    )
+
+    fT = (
+        p["f_flat"].astype(jnp.float32)
+        .transpose(0, 2, 1)  # (n2, co, xrows)
+    )
+    dfe = pl.pallas_call(
+        partial(_bwd_feat_kernel, d=d, c2=chunk),
+        grid=(n2, nt),
+        in_specs=common_specs + [
+            pl.BlockSpec((tile, co), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, co, xrows), lambda j, i: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k, ci), lambda j, i: (j, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n2, mp, k, ci), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        interpret=interpret,
+    )(p["gx"], p["gy"], p["gz"], p["window"], doutp, fT)
+    dfeat = jnp.sum(dfe, axis=0) if n2 > 1 else dfe[0]
+    dfeat = dfeat[:m, :, :ci0].astype(feat_j.dtype)
+
+    # geometry inputs are functions of the DATA (positions), not of model
+    # parameters: zero cotangents keep parameter gradients exact. Use the
+    # XLA layer to differentiate w.r.t. positions.
+    zeros2 = jnp.zeros_like(window)
+    return (zeros2, zeros2, zeros2, zeros2, dfeat, dfilters)
+
+
+_collect.defvjp(_collect_fwd_rule, _collect_bwd_rule)
 
 
 @partial(jax.jit, static_argnames=("d", "tile", "chunk", "interpret"))
@@ -143,70 +381,10 @@ def contconv_collect(
         chunk would blow the VMEM budget.
     :return: (M, co) aggregated output (sum over neighbors; mean handled
         by the caller).
+
+    Differentiable w.r.t. ``feat_j`` and ``filters`` (exact, via the
+    fused backward kernels — see the module docstring); cotangents for
+    the geometry inputs are ZERO by design.
     """
-    assert d >= 2, "kernel assumes d >= 2 (use the XLA path for d < 2)"
-    m, k = window.shape
-    z, ci, co = filters.shape
-    d2 = d * d
-    assert z == d * d * d
-
-    # Mosaic's minor-dims shape casts ((T,k,d,ci)->(T,k,d*ci) and
-    # (T,c2,d*ci)->(T,c2*d*ci)) require the collapsed minor dims to
-    # preserve the 128-lane layout: ci=64 fails infer-vector-layout on real
-    # hardware (interpret mode hides it). Pad ci up to the lane width —
-    # zero feature columns hit zero filter rows, so the result is exact.
-    # Production configs (ci=dim=128) skip this.
-    if ci % 128:
-        cip = -(-ci // 128) * 128
-        feat_j = jnp.pad(feat_j, ((0, 0), (0, 0), (0, cip - ci)))
-        filters = jnp.pad(filters, ((0, 0), (0, cip - ci), (0, 0)))
-        ci = cip
-
-    mp = -(-m // tile) * tile
-    if mp != m:
-        pad = mp - m
-        gx = jnp.pad(gx, ((0, pad), (0, 0)))
-        gy = jnp.pad(gy, ((0, pad), (0, 0)))
-        gz = jnp.pad(gz, ((0, pad), (0, 0)))
-        window = jnp.pad(window, ((0, pad), (0, 0)))
-        feat_j = jnp.pad(feat_j, ((0, pad), (0, 0), (0, 0)))
-    nt = mp // tile
-
-    if chunk is None:
-        # single pass unless the double-buffered filter chunk would blow
-        # the VMEM budget (~32 MB of the 64 MB cap below)
-        chunk = d2
-        while chunk > 8 and 2 * chunk * d * ci * co * 4 > 32 * 1024 * 1024:
-            chunk = -(-chunk // 2)
-    chunk = min(chunk, d2)
-    d2p = -(-d2 // chunk) * chunk
-    n2 = d2p // chunk
-    # filter rows are (x, y, z, ci)-ordered; chunking over xy keeps each
-    # chunk a contiguous row block of d*ci rows per cell-plane
-    f_flat = jnp.pad(
-        filters.astype(feat_j.dtype).reshape(d2, d * ci, co),
-        ((0, d2p - d2), (0, 0), (0, 0)),
-    ).reshape(n2, chunk * d * ci, co)
-
-    out = pl.pallas_call(
-        partial(_collect_kernel, d=d, c2=chunk),
-        grid=(n2, nt),
-        in_specs=[
-            pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
-            pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
-            pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
-            pl.BlockSpec((tile, k), lambda j, i: (i, 0)),
-            pl.BlockSpec((tile, k, ci), lambda j, i: (i, 0, 0)),
-            pl.BlockSpec((1, chunk * d * ci, co), lambda j, i: (j, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, tile, co), lambda j, i: (j, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((n2, mp, co), jnp.float32),
-        # the batched contract + reshape push the Mosaic stack past the
-        # default 16 MB scoped-vmem limit at ci=co=128; v5e has far more
-        # physical VMEM, so raise the cap instead of shrinking tiles
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(gx, gy, gz, window, feat_j, f_flat)
-    return jnp.sum(out, axis=0)[:m] if n2 > 1 else out[0, :m]
+    return _collect(gx, gy, gz, window, feat_j, filters, d, tile, chunk,
+                    interpret)

@@ -283,3 +283,43 @@ def test_output_scale_semantics(cls):
     mz = cls(**kw, output_scale=1e6, zero_init_output=True)
     vz = mz.init(jax.random.PRNGKey(1), x, idx, valid)
     assert float(np.abs(np.asarray(mz.apply(vz, x, idx, valid))).max()) == 0.0
+
+
+@pytest.mark.parametrize("d,ci,co", [(4, 3, 5), (6, 8, 7)])
+def test_contconv_kernel_param_grads_match_xla(d, ci, co):
+    """The fused collect kernel's custom VJP: gradients w.r.t. the layer
+    PARAMETERS (filters + anything upstream through feat_j) match the XLA
+    layer exactly — geometry inputs get zero cotangents by design, which
+    cannot affect parameter grads (geometry is a function of positions,
+    not parameters)."""
+    b, n, k, radius = 2, 70, 6, 1.2
+    rng = np.random.default_rng(23)
+    pos = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(b, n, ci)).astype(np.float32))
+    idx, valid = batched_radius_neighbors(pos, radius, k_max=k,
+                                          include_self=True)
+    cot = jnp.asarray(rng.normal(size=(b, n, co)).astype(np.float32))
+
+    kw = dict(in_channels=ci, out_channels=co, filter_resolution=d,
+              radius=radius, agg="mean")
+    ref = ContinuousConv(**kw)
+    fused = ContinuousConv(**kw, impl="pallas_interpret")
+    params = ref.init(jax.random.PRNGKey(7), pos, feat, idx, valid)
+
+    def loss(layer, p, f):
+        out = layer.apply(p, pos, f, idx, valid)
+        return jnp.sum(out * cot)
+
+    g_ref = jax.grad(lambda p, f: loss(ref, p, f), argnums=(0, 1))(
+        params, feat)
+    g_fused = jax.grad(lambda p, f: loss(fused, p, f), argnums=(0, 1))(
+        params, feat)
+    # filters grad
+    fr = jax.tree_util.tree_leaves(g_ref[0])
+    ff = jax.tree_util.tree_leaves(g_fused[0])
+    for a, b_ in zip(fr, ff):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+    # feat grad (stands in for every upstream parameter path)
+    np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]),
+                               rtol=2e-4, atol=1e-5)
