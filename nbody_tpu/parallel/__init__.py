@@ -1,4 +1,5 @@
-from nbody_tpu.parallel.bh import bh_simulate, sharded_bh_accelerations
+from nbody_tpu.parallel.bh import (bh_simulate, sharded_bh_accelerations,
+                                   sharded_bh2_accelerations)
 from nbody_tpu.parallel.mesh import make_mesh, particle_sharding
 from nbody_tpu.parallel.ring import ring_accelerations, ring_simulate
 from nbody_tpu.parallel.surrogate import (
@@ -14,6 +15,7 @@ __all__ = [
     "ring_accelerations",
     "ring_simulate",
     "sharded_bh_accelerations",
+    "sharded_bh2_accelerations",
     "sharded_contconv_predict",
     "sharded_predict",
     "sharded_rollout",

@@ -29,10 +29,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_tpu.ops.treeforce import (
+    BH2Partition,
     BHPartition,
     _gather_sorted,
     _unsort_acc,
+    bh2_sorted_range_acc,
     bh_sorted_range_acc,
+    build_bh2_partition,
     build_bh_partition,
 )
 
@@ -132,6 +135,114 @@ def sharded_bh_accelerations(
 
     fn = _sharded_fn(mesh, axis, n, nb, block, n_near, i_chunk, near_impl,
                      float(g_const), float(softening), partition is not None)
+    sharding = NamedSharding(mesh, P(axis))
+    pos = jax.device_put(pos, sharding)
+    mass = jax.device_put(mass, sharding)
+    if partition is None:
+        return fn(pos, mass)
+    return fn(pos, mass, partition)
+
+
+def _force2_local(pall, mall, part, axis, n, nb, nbc, block, coarse, nbcp,
+                  n_dev, shard, g_const, softening, i_chunk, near_impl):
+    """Per-device two-level BH force: this device's range of ``nbcp``
+    coarse groups (= nbcp*coarse fine receiver blocks) of
+    :func:`ops.treeforce.bh2_sorted_range_acc` on the replicated state.
+    Padding is by whole COARSE groups so every range stays group-aligned
+    (the bh2 range API requires blk0/nbl multiples of the coarse factor);
+    padded groups are massless and their rows are dropped after the
+    gather, exactly like the one-level path."""
+    spos, sm = _gather_sorted(pall, mall, part.base)
+    cpad = nbcp * n_dev - nbc
+    bpad = cpad * coarse
+    spos_p = jnp.pad(spos, ((0, bpad * block), (0, 0)))
+    sm_p = jnp.pad(sm, (0, bpad * block))
+    near_p = jnp.pad(part.near, ((0, bpad), (0, 0)))
+    refined_p = jnp.pad(part.refined, ((0, cpad), (0, 0)))
+
+    me = jax.lax.axis_index(axis)
+    nbl = nbcp * coarse
+    acc_rng = bh2_sorted_range_acc(
+        spos_p, sm_p, near_p, refined_p, g_const, softening,
+        (me * nbl).astype(jnp.int32), nbl,
+        i_chunk=i_chunk, near_impl=near_impl,
+    )  # (nbl*B, 3) my receiver rows, sorted order
+
+    acc_sorted = jax.lax.all_gather(acc_rng, axis, tiled=True)
+    acc = _unsort_acc(acc_sorted[: nb * block], part.sorted_gid, n)
+    return jax.lax.dynamic_slice_in_dim(acc, me * shard, shard)
+
+
+@lru_cache(maxsize=64)
+def _sharded2_fn(mesh, axis, n, nb, nbc, block, coarse, rc, n_near, i_chunk,
+                 near_impl, g_const, softening, with_partition):
+    n_dev = mesh.shape[axis]
+    nbcp = -(-nbc // n_dev)  # coarse groups per device
+    shard = n // n_dev
+
+    def fwd(pos_l, mass_l, part):
+        pall = jax.lax.all_gather(pos_l, axis, tiled=True)
+        mall = jax.lax.all_gather(mass_l, axis, tiled=True)
+        if part is None:
+            part = build_bh2_partition(pall, mall, n_near=n_near,
+                                       block=block, coarse=coarse, rc=rc)
+        return _force2_local(
+            pall, mall, part, axis, n, nb, nbc, block, coarse, nbcp, n_dev,
+            shard, g_const, softening, i_chunk, near_impl)
+
+    spec = P(axis)
+    if not with_partition:
+        return jax.jit(jax.shard_map(
+            lambda p, m_: fwd(p, m_, None), mesh=mesh,
+            in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,  # partition/moments run replicated inside
+        ))
+    part_spec = BH2Partition(P(), P(), P(), P())  # replicated
+    return jax.jit(jax.shard_map(
+        fwd, mesh=mesh, in_specs=(spec, spec, part_spec), out_specs=spec,
+        check_vma=False,
+    ))
+
+
+def sharded_bh2_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    g_const: float,
+    softening: float,
+    mesh: Mesh,
+    axis: str = "particles",
+    partition: Optional[BH2Partition] = None,
+    n_near: int = 16,
+    block: int = 256,
+    coarse: int = 16,
+    rc: int = 32,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+) -> jax.Array:
+    """(N, 3) two-level BH accelerations with receiver COARSE groups
+    sharded over ``axis`` — the bh2 twin of
+    :func:`sharded_bh_accelerations` (matches
+    :func:`ops.treeforce.bh2_accelerations`; a CPU-mesh test asserts
+    equality when the group count divides the axis)."""
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_dev}")
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if partition is not None:
+        nb = partition.n_blocks
+        block = partition.sorted_gid.shape[0] // nb
+        nbc = partition.refined.shape[0]
+        coarse = nb // nbc
+    else:
+        nb = -(-n // block)
+        nbc = -(-nb // coarse)
+
+    fn = _sharded2_fn(mesh, axis, n, nb, nbc, block, coarse, rc, n_near,
+                      i_chunk, near_impl, float(g_const), float(softening),
+                      partition is not None)
     sharding = NamedSharding(mesh, P(axis))
     pos = jax.device_put(pos, sharding)
     mass = jax.device_put(mass, sharding)

@@ -79,3 +79,45 @@ def test_bh_simulate_matches_single_device(mesh8):
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(v), np.asarray(ref.velocities[-1]),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_bh2_matches_single_device(mesh8):
+    """Two-level engine: coarse receiver groups sharded over 8 devices ==
+    the single-device bh2 path. nbc = 16 groups / 8 devices: no padding,
+    identical per-range arithmetic => exact equality."""
+    from nbody_tpu.ops.treeforce import bh2_accelerations
+    from nbody_tpu.parallel.bh import sharded_bh2_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(7), 2048)
+    kw = dict(n_near=6, block=64, coarse=4, rc=4, near_impl="xla")
+    a1 = bh2_accelerations(pos, mass, G, EPS, **kw)
+    a8 = sharded_bh2_accelerations(pos, mass, G, EPS, mesh8, **kw)
+    np.testing.assert_array_equal(np.asarray(a8), np.asarray(a1))
+
+
+def test_sharded_bh2_uneven_groups(mesh8):
+    """nbc = 14 coarse groups over 8 devices: whole-group padding to 16
+    must not corrupt real rows (padded groups are massless; far reductions
+    tile differently => rounding-level equality, like the bh1 twin)."""
+    from nbody_tpu.ops.treeforce import bh2_accelerations
+    from nbody_tpu.parallel.bh import sharded_bh2_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(8), 1792)
+    kw = dict(n_near=6, block=64, coarse=4, rc=4, near_impl="xla")
+    a1 = bh2_accelerations(pos, mass, G, EPS, **kw)
+    a8 = sharded_bh2_accelerations(pos, mass, G, EPS, mesh8, **kw)
+    np.testing.assert_allclose(np.asarray(a8), np.asarray(a1),
+                               rtol=1e-4, atol=1e-9)
+
+
+def test_sharded_bh2_reused_partition(mesh8):
+    from nbody_tpu.ops.treeforce import bh2_accelerations, build_bh2_partition
+    from nbody_tpu.parallel.bh import sharded_bh2_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(9), 2048)
+    part = build_bh2_partition(pos, mass, n_near=6, block=64, coarse=4, rc=4)
+    a1 = bh2_accelerations(pos, mass, G, EPS, partition=part,
+                           near_impl="xla")
+    a8 = sharded_bh2_accelerations(pos, mass, G, EPS, mesh8, partition=part,
+                                   rc=4, near_impl="xla")
+    np.testing.assert_array_equal(np.asarray(a8), np.asarray(a1))
