@@ -1,4 +1,5 @@
-from nbody_tpu.parallel.bh import (bh_simulate, sharded_bh_accelerations,
+from nbody_tpu.parallel.bh import (bh2_simulate, bh_simulate,
+                                   sharded_bh_accelerations,
                                    sharded_bh2_accelerations)
 from nbody_tpu.parallel.mesh import make_mesh, particle_sharding
 from nbody_tpu.parallel.ring import ring_accelerations, ring_simulate
@@ -9,6 +10,7 @@ from nbody_tpu.parallel.surrogate import (
 )
 
 __all__ = [
+    "bh2_simulate",
     "bh_simulate",
     "make_mesh",
     "particle_sharding",

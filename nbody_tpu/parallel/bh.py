@@ -296,6 +296,95 @@ def _bh_simulate_fn(mesh, axis, n, steps, block, n_near, refresh, i_chunk,
     ))
 
 
+@lru_cache(maxsize=32)
+def _bh2_simulate_fn(mesh, axis, n, steps, block, coarse, rc, n_near,
+                     refresh, i_chunk, near_impl, g_const, softening, dt):
+    n_dev = mesh.shape[axis]
+    nb = -(-n // block)
+    nbc = -(-nb // coarse)
+    nbcp = -(-nbc // n_dev)
+    shard = n // n_dev
+    from nbody_tpu.core.integrators import leapfrog_step
+
+    def fwd(pos_l, vel_l, mass_l):
+        mall = jax.lax.all_gather(mass_l, axis, tiled=True)
+
+        def build(p_l):
+            pall = jax.lax.all_gather(p_l, axis, tiled=True)
+            return build_bh2_partition(pall, mall, n_near=n_near,
+                                       block=block, coarse=coarse, rc=rc)
+
+        def force(p_l, part):
+            pall = jax.lax.all_gather(p_l, axis, tiled=True)
+            return _force2_local(
+                pall, mall, part, axis, n, nb, nbc, block, coarse, nbcp,
+                n_dev, shard, g_const, softening, i_chunk, near_impl)
+
+        def body(carry, i):
+            p_l, v_l, a_l, part = carry
+            # i > 0: part0 was built from these exact positions already
+            part = jax.lax.cond((i % refresh == 0) & (i > 0), build,
+                                lambda _: part, p_l)
+            p_l, v_l, a_l = leapfrog_step(
+                p_l, v_l, a_l, lambda q: force(q, part), jnp.float32(dt))
+            return (p_l, v_l, a_l, part), None
+
+        part0 = build(pos_l)
+        a0 = force(pos_l, part0)
+        (p_l, v_l, a_l, _), _ = jax.lax.scan(
+            body, (pos_l, vel_l, a0, part0), jnp.arange(steps))
+        return p_l, v_l, a_l
+
+    spec = P(axis)
+    return jax.jit(jax.shard_map(
+        fwd, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,  # partition/moments run replicated inside
+    ))
+
+
+def bh2_simulate(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    steps: int,
+    g_const: float,
+    softening: float,
+    dt: float,
+    mesh: Mesh,
+    axis: str = "particles",
+    n_near: int = 32,
+    block: int = 128,
+    coarse: int = 16,
+    rc: int = 32,
+    refresh: int = 8,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+):
+    """Multi-device two-level BH leapfrog rollout — the bh2 twin of
+    :func:`bh_simulate` (coarse-group-sharded
+    :func:`ops.treeforce.bh2_sorted_range_acc` inside one scanned
+    ``shard_map`` program, partition refreshed every ``refresh`` steps).
+    Default knobs are the adopted 1M-body frontier config
+    (``results/large_scale/bh2.json``: B=128, M=32, C=16, rc=48→32 small-N
+    clamp-safe default).
+
+    :return: final ``(pos, vel, acc)``, each (N, 3) sharded over ``axis``.
+    """
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_dev}")
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    fn = _bh2_simulate_fn(mesh, axis, n, steps, block, coarse, rc, n_near,
+                          refresh, i_chunk, near_impl, float(g_const),
+                          float(softening), float(dt))
+    sharding = NamedSharding(mesh, P(axis))
+    return fn(jax.device_put(pos, sharding), jax.device_put(vel, sharding),
+              jax.device_put(mass, sharding))
+
+
 def bh_simulate(
     pos: jax.Array,
     vel: jax.Array,

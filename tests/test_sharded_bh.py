@@ -121,3 +121,25 @@ def test_sharded_bh2_reused_partition(mesh8):
     a8 = sharded_bh2_accelerations(pos, mass, G, EPS, mesh8, partition=part,
                                    rc=4, near_impl="xla")
     np.testing.assert_array_equal(np.asarray(a8), np.asarray(a1))
+
+
+def test_bh2_simulate_matches_single_device(mesh8):
+    """The scanned multi-device two-level rollout tracks simulate's
+    single-device bh2 path (same refresh schedule; rounding-level equality
+    from the per-device chunk padding, like the bh1 twin)."""
+    from nbody_tpu.core.simulate import SimulationConfig, simulate
+    from nbody_tpu.parallel.bh import bh2_simulate
+
+    pos, vel, mass = generate_spiral(jax.random.PRNGKey(10), 2048)
+    cfg = SimulationConfig(g_const=G, softening=EPS, dt=1e-4,
+                           integrator="leapfrog", calc_energy=False,
+                           force_backend="bh2", bh_near=8, bh_block=64,
+                           bh_coarse=4, bh_rc=4, bh_refresh=4)
+    ref = simulate(pos, vel, mass, 10, cfg)
+    p, v, a = bh2_simulate(pos, vel, mass, 10, G, EPS, 1e-4, mesh8,
+                           n_near=8, block=64, coarse=4, rc=4, refresh=4,
+                           near_impl="xla")
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref.positions[-1]),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref.velocities[-1]),
+                               rtol=1e-5, atol=1e-8)
