@@ -17,6 +17,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 
 from nbody_tpu.core.simulate import SimulationConfig, simulate
 from nbody_tpu.ics import generate_spiral
@@ -47,6 +48,13 @@ def main(argv=None):
                         "- REQUIRED above ~300k bodies where the stacked "
                         "(steps, N, 3) trajectory exceeds HBM (1M x 1000 "
                         "steps would be 36 GB)")
+    p.add_argument("--no-energy-audit", action="store_true",
+                   help="skip the exact O(N^2) endpoint energy audit "
+                        "(5e13 pairs at 10M); reports a sampled endpoint "
+                        "force error instead")
+    p.add_argument("--error-sample", type=int, default=4096,
+                   help="receivers for the sampled endpoint force audit "
+                        "when --no-energy-audit is set")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     enable_persistent_cache()
@@ -55,6 +63,8 @@ def main(argv=None):
     fetch_scalar(pos)
 
     def exact_energy(p_, v_):
+        if args.no_energy_audit:
+            return 0.0, 0.0
         u = pallas_potential_energy(p_, mass, G, EPS)
         return float(u), float(kinetic_energy(v_, mass))
 
@@ -90,6 +100,36 @@ def main(argv=None):
         v_end = traj.velocities[-1]
     u1, k1 = exact_energy(p_end, v_end)
     e0, e1 = u0 + k0, u1 + k1
+    audit = {}
+    if args.no_energy_audit:
+        # sampled endpoint force audit: S receivers vs ALL sources, O(S*N)
+        # (self-pairs contribute zero force — no exclusion needed)
+        from nbody_tpu.ops.pairwise import pallas_partial_accelerations
+
+        n, s = args.n_bodies, args.error_sample
+        idx = jax.random.choice(jax.random.PRNGKey(42), n, (s,),
+                                replace=False)
+        n_pad = -(-n // 1024) * 1024
+        pos_p = jnp.pad(p_end, ((0, n_pad - n), (0, 0)))
+        mass_p = jnp.pad(mass, (0, n_pad - n))
+        exact = jax.jit(lambda q, pj, mj: pallas_partial_accelerations(
+            q, pj, mj, G, EPS, diag_delta=n_pad + s + 1
+        ))(p_end[idx], pos_p, mass_p)
+        from nbody_tpu.ops.treeforce import (bh2_accelerations,
+                                             bh_accelerations)
+        if args.engine == "bh2":
+            approx = bh2_accelerations(
+                p_end, mass, G, EPS, n_near=args.bh_near, block=args.block,
+                coarse=args.coarse, rc=args.rc)[idx]
+        else:
+            approx = bh_accelerations(
+                p_end, mass, G, EPS, n_near=args.bh_near,
+                block=args.block)[idx]
+        rel = jnp.linalg.norm(approx - exact, axis=-1) / (
+            jnp.linalg.norm(exact, axis=-1) + 1e-30)
+        audit = {"error_sample": s,
+                 "end_rel_err_median": float(jnp.median(rel)),
+                 "end_rel_err_p99": float(jnp.percentile(rel, 99))}
     row = {
         "n": args.n_bodies, "steps": args.steps, "dt": DT,
         "engine": args.engine,
@@ -101,8 +141,10 @@ def main(argv=None):
         "wall_s": round(elapsed, 3),
         "ms_per_step": round(elapsed / args.steps * 1e3, 3),
         "psteps_per_s": args.n_bodies * args.steps / elapsed,
-        "E0": e0, "E1": e1,
-        "rel_energy_drift": abs(e1 - e0) / abs(e0),
+        **({} if args.no_energy_audit else {
+            "E0": e0, "E1": e1,
+            "rel_energy_drift": abs(e1 - e0) / abs(e0)}),
+        **audit,
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(row), flush=True)

@@ -66,6 +66,11 @@ def main(argv=None):
     p.add_argument("--error-cap", type=int, default=None,
                    help="compute force-error tiers (ONE exact eval, no "
                         "timing chain) up to this N; default = exact-cap")
+    p.add_argument("--error-sample", type=int, default=0,
+                   help="above error-cap: sample this many receivers and "
+                        "grade them against an exact partial force eval "
+                        "(O(S*N) — the only affordable exact evidence at "
+                        "10M, where the full audit is 5e13 pairs)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
     enable_persistent_cache()
@@ -135,6 +140,27 @@ def main(argv=None):
         if n <= error_cap:
             exact = pallas_accelerations(pos, mass, G, EPS)
             approx = fresh(pos)
+        elif args.error_sample:
+            # sampled exact: S receivers vs ALL sources, O(S*N). Self-pairs
+            # need no exclusion (zero displacement => zero force), so
+            # diag_delta is pushed out of range. Sources zero-mass-padded
+            # to the tile multiple (the low-level kernel does no padding).
+            from nbody_tpu.ops.pairwise import pallas_partial_accelerations
+
+            s = args.error_sample
+            idx = jax.random.choice(
+                jax.random.PRNGKey(42), n, (s,), replace=False)
+            n_pad = -(-n // 1024) * 1024
+            pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
+            mass_p = jnp.pad(mass, (0, n_pad - n))
+            exact = jax.jit(lambda q, pj, mj: pallas_partial_accelerations(
+                q, pj, mj, G, EPS, diag_delta=n_pad + s + 1
+            ))(pos[idx], pos_p, mass_p)
+            approx = fresh(pos)[idx]
+            row["error_sample"] = s
+        else:
+            exact = None
+        if exact is not None:
             err = jnp.linalg.norm(approx - exact, axis=-1)
             mag = jnp.linalg.norm(exact, axis=-1)
             rel = err / (mag + 1e-30)

@@ -217,26 +217,33 @@ def _multipole_acc(q, com, msum, quad, g, eps2):
     return g * jnp.sum(acc, axis=1)
 
 
-def _multipole_kernel(scal_ref, q_ref, blkT_ref, acc_ref):
+def _multipole_kernel(scal_ref, qT_ref, blk_ref, acc_ref):
     """One (i, k) tile of the monopole+quadrupole far field.
 
+    Plane ("transposed") orientation: receivers live on LANES, source
+    blocks on SUBLANES. A (P, 3) pallas operand is forced into the
+    T(8, 128) tiled layout, padding the 3 lanes to 128 — a 42.7x HBM
+    expansion that is 4.77 GB per tensor at 10M bodies (measured: the
+    10M force eval compiled to 23.9 GB of 15.75 GB HBM). The (3, P)
+    plane layout pads 3 sublanes to 8 instead (2.67x, 320 MB at 10M).
+
     scal_ref:  SMEM (2,) float32 = [g_const, eps^2]
-    q_ref:     VMEM (TI, 3)  receiver positions
-    blkT_ref:  VMEM (10, TK) block data, lane-major rows:
+    qT_ref:    VMEM (3, TI)  receiver coordinate planes [x; y; z]
+    blk_ref:   VMEM (TK, 10) block data, one block per sublane row:
                [com_x, com_y, com_z, msum, Qxx, Qyy, Qzz, Qxy, Qxz, Qyz]
                (zero-msum/zero-Q padding contributes nothing)
-    acc_ref:   VMEM (TI, 3)  accumulated over the k grid dimension
+    acc_ref:   VMEM (3, TI)  accumulated over the k grid dimension
     """
     k = pl.program_id(1)
     g = scal_ref[0]
     eps2 = scal_ref[1]
 
-    rx = q_ref[:, 0:1] - blkT_ref[0:1, :]  # (TI, TK) r = q - com
-    ry = q_ref[:, 1:2] - blkT_ref[1:2, :]
-    rz = q_ref[:, 2:3] - blkT_ref[2:3, :]
-    m = blkT_ref[3:4, :]
-    qxx, qyy, qzz = blkT_ref[4:5, :], blkT_ref[5:6, :], blkT_ref[6:7, :]
-    qxy, qxz, qyz = blkT_ref[7:8, :], blkT_ref[8:9, :], blkT_ref[9:10, :]
+    rx = qT_ref[0:1, :] - blk_ref[:, 0:1]  # (TK, TI) r = q - com
+    ry = qT_ref[1:2, :] - blk_ref[:, 1:2]
+    rz = qT_ref[2:3, :] - blk_ref[:, 2:3]
+    m = blk_ref[:, 3:4]
+    qxx, qyy, qzz = blk_ref[:, 4:5], blk_ref[:, 5:6], blk_ref[:, 6:7]
+    qxy, qxz, qyz = blk_ref[:, 7:8], blk_ref[:, 8:9], blk_ref[:, 9:10]
 
     s2 = rx * rx + ry * ry + rz * rz + eps2
     inv = jax.lax.rsqrt(jnp.maximum(s2, _D2_FLOOR))
@@ -251,10 +258,10 @@ def _multipole_kernel(scal_ref, q_ref, blkT_ref, acc_ref):
     rqr = qr_x * rx + qr_y * ry + qr_z * rz
 
     cr = -m * inv3 - 2.5 * rqr * inv7  # radial coefficient
-    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=1, keepdims=True)
-    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=1, keepdims=True)
-    az = jnp.sum(cr * rz + inv5 * qr_z, axis=1, keepdims=True)
-    part = g * jnp.concatenate([ax, ay, az], axis=1)  # (TI, 3)
+    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=0, keepdims=True)
+    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=0, keepdims=True)
+    az = jnp.sum(cr * rz + inv5 * qr_z, axis=0, keepdims=True)
+    part = g * jnp.concatenate([ax, ay, az], axis=0)  # (3, TI)
 
     @pl.when(k == 0)
     def _():
@@ -264,32 +271,38 @@ def _multipole_kernel(scal_ref, q_ref, blkT_ref, acc_ref):
 
 
 @partial(jax.jit, static_argnames=("tile_i", "tile_k", "interpret"))
-def pallas_multipole_acc(q, com, msum, quad, g, eps2, tile_i: int = 256,
-                         tile_k: int = 512, interpret: bool = False):
+def pallas_multipole_acc(q, com, msum, quad, g, eps2, tile_i: int = 512,
+                         tile_k: int = 256, interpret: bool = False):
     """Softened monopole+quadrupole pull of all (com, msum, quad) blocks on
-    rows ``q`` — the Pallas twin of :func:`_multipole_acc` (streamed (TI,TK)
-    tiles; no (P, K, 3) HBM intermediates).
+    rows ``q`` — the Pallas twin of :func:`_multipole_acc` (streamed (TK,TI)
+    tiles; no (P, K, 3) HBM intermediates). Operands enter the kernel in
+    plane layout (see :func:`_multipole_kernel`): the (P, 3)->(3, P) /
+    (3, P)->(P, 3) transposes here are XLA ops with layout freedom, cheap
+    next to the 42.7x tiled-operand padding they avoid.
 
     :param q: (P, 3); :param com: (K, 3); :param msum: (K,);
     :param quad: (K, 3, 3) symmetric traceless quadrupoles.
+    :param tile_i: receiver tile (lanes, multiple of 128).
+    :param tile_k: source-block tile (sublanes, multiple of 8).
     :return: (P, 3).
     """
     from nbody_tpu.ops.pairwise import _round_up
 
     p_, k_ = q.shape[0], com.shape[0]
-    ti = min(tile_i, _round_up(p_, 8))
-    tk = min(tile_k, _round_up(k_, 128))
+    ti = min(tile_i, _round_up(p_, 128))
+    tk = min(tile_k, _round_up(k_, 8))
     p_pad = -(-p_ // ti) * ti
     k_pad = -(-k_ // tk) * tk
+    qT = q.T  # (3, P)
     if p_pad != p_:
-        q = jnp.pad(q, ((0, p_pad - p_), (0, 0)))
-    blkT = jnp.stack([
+        qT = jnp.pad(qT, ((0, 0), (0, p_pad - p_)))
+    blk = jnp.stack([
         com[:, 0], com[:, 1], com[:, 2], msum,
         quad[:, 0, 0], quad[:, 1, 1], quad[:, 2, 2],
         quad[:, 0, 1], quad[:, 0, 2], quad[:, 1, 2],
-    ])  # (10, K)
+    ], axis=1)  # (K, 10)
     if k_pad != k_:
-        blkT = jnp.pad(blkT, ((0, 0), (0, k_pad - k_)))
+        blk = jnp.pad(blk, ((0, k_pad - k_), (0, 0)))
     scal = jnp.stack([jnp.asarray(g, jnp.float32),
                       jnp.asarray(eps2, jnp.float32)])
     out = pl.pallas_call(
@@ -297,22 +310,22 @@ def pallas_multipole_acc(q, com, msum, quad, g, eps2, tile_i: int = 256,
         grid=(p_pad // ti, k_pad // tk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((ti, 3), lambda i, k: (i, 0),
+            pl.BlockSpec((3, ti), lambda i, k: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((10, tk), lambda i, k: (0, k),
+            pl.BlockSpec((tk, 10), lambda i, k: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ti, 3), lambda i, k: (i, 0),
+        out_specs=pl.BlockSpec((3, ti), lambda i, k: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p_pad, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, p_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=45 * p_pad * k_pad,
             bytes_accessed=k_pad * 40 * (p_pad // ti) + p_pad * 12,
             transcendentals=p_pad * k_pad,
         ),
         interpret=interpret,
-    )(scal, q, blkT)
-    return out[:p_]
+    )(scal, qT, blk)
+    return out[:, :p_].T
 
 
 @partial(jax.jit,
@@ -543,22 +556,23 @@ class BH2Partition(NamedTuple):
         return self.near.shape[0]
 
 
-def _grouped_multipole_kernel(scal_ref, q_ref, blkT_ref, acc_ref):
+def _grouped_multipole_kernel(scal_ref, qT_ref, blk_ref, acc_ref):
     """One (g, i, k) tile of the per-group multipole field: group g's
-    receiver tile against group g's own (10, TK) block slice. Same
-    arithmetic as :func:`_multipole_kernel`."""
+    receiver tile against group g's own (TK, 10) block slice. Same
+    plane-oriented arithmetic as :func:`_multipole_kernel` (receivers on
+    lanes, blocks on sublanes — avoids the 42.7x trailing-3 tiling pad)."""
     k = pl.program_id(2)
     g = scal_ref[0]
     eps2 = scal_ref[1]
-    q = q_ref[0]
-    blkT = blkT_ref[0]
+    qT = qT_ref[0]  # (3, TI)
+    blk = blk_ref[0]  # (TK, 10)
 
-    rx = q[:, 0:1] - blkT[0:1, :]
-    ry = q[:, 1:2] - blkT[1:2, :]
-    rz = q[:, 2:3] - blkT[2:3, :]
-    m = blkT[3:4, :]
-    qxx, qyy, qzz = blkT[4:5, :], blkT[5:6, :], blkT[6:7, :]
-    qxy, qxz, qyz = blkT[7:8, :], blkT[8:9, :], blkT[9:10, :]
+    rx = qT[0:1, :] - blk[:, 0:1]
+    ry = qT[1:2, :] - blk[:, 1:2]
+    rz = qT[2:3, :] - blk[:, 2:3]
+    m = blk[:, 3:4]
+    qxx, qyy, qzz = blk[:, 4:5], blk[:, 5:6], blk[:, 6:7]
+    qxy, qxz, qyz = blk[:, 7:8], blk[:, 8:9], blk[:, 9:10]
 
     s2 = rx * rx + ry * ry + rz * rz + eps2
     inv = jax.lax.rsqrt(jnp.maximum(s2, _D2_FLOOR))
@@ -573,10 +587,10 @@ def _grouped_multipole_kernel(scal_ref, q_ref, blkT_ref, acc_ref):
     rqr = qr_x * rx + qr_y * ry + qr_z * rz
 
     cr = -m * inv3 - 2.5 * rqr * inv7
-    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=1, keepdims=True)
-    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=1, keepdims=True)
-    az = jnp.sum(cr * rz + inv5 * qr_z, axis=1, keepdims=True)
-    part = g * jnp.concatenate([ax, ay, az], axis=1)
+    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=0, keepdims=True)
+    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=0, keepdims=True)
+    az = jnp.sum(cr * rz + inv5 * qr_z, axis=0, keepdims=True)
+    part = g * jnp.concatenate([ax, ay, az], axis=0)  # (3, TI)
 
     @pl.when(k == 0)
     def _():
@@ -587,28 +601,34 @@ def _grouped_multipole_kernel(scal_ref, q_ref, blkT_ref, acc_ref):
 
 @partial(jax.jit, static_argnames=("tile_i", "tile_k", "interpret"))
 def pallas_grouped_multipole_acc(qg, blkTg, g, eps2, tile_i: int = 512,
-                                 tile_k: int = 512, interpret: bool = False):
+                                 tile_k: int = 256, interpret: bool = False):
     """Per-group multipole pull: group i's receivers see ONLY group i's
     block list — one kernel launch for all groups (grid (G, nI, nK)), the
     fix for the reverted two-level attempt's ~G tiny-launch overhead.
+    Kernel operands are plane-oriented (see :func:`_multipole_kernel`);
+    the transposes below are cheap XLA ops.
 
     :param qg: (G, P, 3) grouped receiver rows.
     :param blkTg: (G, 10, K) grouped lane-major block data (rows as in
-        :func:`_multipole_kernel`; zero-mass/zero-Q padding is inert).
+        :func:`_blkT`; zero-mass/zero-Q padding is inert).
+    :param tile_i: receiver tile (lanes); :param tile_k: block tile
+        (sublanes).
     :return: (G, P, 3).
     """
     from nbody_tpu.ops.pairwise import _round_up
 
     ng, p_, _ = qg.shape
     k_ = blkTg.shape[2]
-    ti = min(tile_i, _round_up(p_, 8))
-    tk = min(tile_k, _round_up(k_, 128))
+    ti = min(tile_i, _round_up(p_, 128))
+    tk = min(tile_k, _round_up(k_, 8))
     p_pad = -(-p_ // ti) * ti
     k_pad = -(-k_ // tk) * tk
+    qgT = jnp.transpose(qg, (0, 2, 1))  # (G, 3, P)
     if p_pad != p_:
-        qg = jnp.pad(qg, ((0, 0), (0, p_pad - p_), (0, 0)))
+        qgT = jnp.pad(qgT, ((0, 0), (0, 0), (0, p_pad - p_)))
+    blkg = jnp.transpose(blkTg, (0, 2, 1))  # (G, K, 10)
     if k_pad != k_:
-        blkTg = jnp.pad(blkTg, ((0, 0), (0, 0), (0, k_pad - k_)))
+        blkg = jnp.pad(blkg, ((0, 0), (0, k_pad - k_), (0, 0)))
     scal = jnp.stack([jnp.asarray(g, jnp.float32),
                       jnp.asarray(eps2, jnp.float32)])
     out = pl.pallas_call(
@@ -616,22 +636,22 @@ def pallas_grouped_multipole_acc(qg, blkTg, g, eps2, tile_i: int = 512,
         grid=(ng, p_pad // ti, k_pad // tk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ti, 3), lambda a, i, k: (a, i, 0),
+            pl.BlockSpec((1, 3, ti), lambda a, i, k: (a, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 10, tk), lambda a, i, k: (a, 0, k),
+            pl.BlockSpec((1, tk, 10), lambda a, i, k: (a, k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ti, 3), lambda a, i, k: (a, i, 0),
+        out_specs=pl.BlockSpec((1, 3, ti), lambda a, i, k: (a, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ng, p_pad, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ng, 3, p_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=45 * ng * p_pad * k_pad,
             bytes_accessed=ng * (k_pad * 40 + p_pad * 24),
             transcendentals=ng * p_pad * k_pad,
         ),
         interpret=interpret,
-    )(scal, qg, blkTg)
-    return out[:, :p_]
+    )(scal, qgT, blkg)
+    return jnp.transpose(out[:, :, :p_], (0, 2, 1))
 
 
 def _blkT(com, msum, quad):
