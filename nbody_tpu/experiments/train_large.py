@@ -66,6 +66,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--neighbors", type=int, default=10)
     p.add_argument("--gnn-dim", type=int, default=64)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize EdgeConv layers in the backward "
+                        "pass — required to fit 1M-body GNN training on "
+                        "one chip (see GraphModel.remat)")
     p.add_argument("--zero-init-output", action="store_true",
                    help="zero-init the output head: the net starts at "
                         "pred=0 (relative error 1.0) instead of O(1e-2) "
@@ -160,6 +164,7 @@ def main(argv=None):
             # bottleneck at 20k+ bodies; same function & params
             zero_init_output=args.zero_init_output,
             output_scale=args.output_scale,
+            remat=args.remat,
         )
         rollout_model = model
     trainer = Trainer(

@@ -122,6 +122,10 @@ class GraphModel(nn.Module):
     # function & params, ~2x fewer HBM-bound (N,k,.) intermediates — see
     # EdgeConv docstring). Off by default so committed training runs
     # reproduce bit-for-bit; rollout/crossover paths turn it on.
+    remat: bool = False  # rematerialize each EdgeConv in the backward pass
+    # instead of saving its (N, k, dim) intermediates — the knob that fits
+    # 1M-body *training* on one chip (saved residuals drop to the (N, dim)
+    # layer inputs; forward is recomputed once per layer in the backward).
 
     @property
     def graph_spec(self):
@@ -158,9 +162,13 @@ class GraphModel(nn.Module):
             )(x, train=train)
         encoder_output = x
 
-        for _ in range(self.message_passing_steps):
-            x = EdgeConv(self.gnn_dim, self.aggr, self.fused_edgeconv)(
-                x, nbr_idx, nbr_valid)
+        # explicit names keep the param tree identical with and without
+        # remat (nn.remat would otherwise auto-name CheckpointEdgeConv_i,
+        # breaking checkpoint interchange between the two modes)
+        conv_cls = nn.remat(EdgeConv) if self.remat else EdgeConv
+        for i in range(self.message_passing_steps):
+            x = conv_cls(self.gnn_dim, self.aggr, self.fused_edgeconv,
+                         name=f"EdgeConv_{i}")(x, nbr_idx, nbr_valid)
 
         x = jnp.concatenate([encoder_output, x], axis=-1)  # gnn.py:144
         x = nn.LayerNorm(epsilon=1e-5)(x)  # torch default eps

@@ -252,6 +252,34 @@ def test_fused_edgeconv_matches_unfused(aggr):
     )
 
 
+def test_remat_same_params_loss_and_grads():
+    """``remat=True`` changes only what the backward pass stores (EdgeConv
+    intermediates recomputed, not saved): identical param tree (explicit
+    layer names defeat nn.remat's CheckpointEdgeConv_i auto-naming),
+    bit-identical loss and gradients."""
+    x, _ = _batch()
+    idx, valid = batched_knn_neighbors(x[..., :3], 5)
+    kwargs = dict(input_dim=4, gnn_dim=32, message_passing_steps=2,
+                  aggr="mean", neighbors=5, scale_factor=1e6,
+                  fused_edgeconv=True, output_scale=1e6)
+    ref = GraphModel(**kwargs)
+    rem = GraphModel(remat=True, **kwargs)
+    params = ref.init(jax.random.PRNGKey(0), x, idx, valid)
+    p2 = rem.init(jax.random.PRNGKey(0), x, idx, valid)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x, idx, valid) ** 2) * 1e12
+
+    l0, g0 = jax.value_and_grad(loss(ref))(params)
+    l1, g1 = jax.value_and_grad(loss(rem))(params)
+    assert l0 == l1
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree_util.tree_leaves(deltas)) == 0.0
+
+
 @pytest.mark.parametrize("cls", [GraphModel, ContinuousConvModel])
 def test_output_scale_semantics(cls):
     """output_scale divides the net's raw output so apply() stays in
