@@ -61,6 +61,12 @@ def main(argv=None):
     p.add_argument("--stride", type=int, default=4)
     p.add_argument("--bh-near", type=int, default=48)
     p.add_argument("--bh-refresh", type=int, default=4)
+    p.add_argument("--time-chunks", type=int, default=1,
+                   help="run datagen as C sequential scan chunks — single "
+                        "device executions beyond ~60 s crash the tunneled "
+                        "TPU worker (observed at 1M x 400 steps), and the "
+                        "full-trajectory HBM footprint scales with the "
+                        "longest single scan")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -122,12 +128,13 @@ def main(argv=None):
         if args.skip_datagen and os.path.exists(out[:-4] + ".npz"):
             continue
         generate_dataset([scenario(42 + i)], out, snapshot_stride=args.stride,
-                         write_csv_file=False, vmap_scenes=False)
+                         write_csv_file=False, vmap_scenes=False,
+                         time_chunks=args.time_chunks)
     test_csv = os.path.join(test_dir, "test.csv")
     if not (args.skip_datagen and os.path.exists(test_csv[:-4] + ".npz")):
         generate_dataset([scenario(1042)], test_csv,
                          snapshot_stride=args.stride, write_csv_file=False,
-                         vmap_scenes=False)
+                         vmap_scenes=False, time_chunks=args.time_chunks)
     datagen_s = time.perf_counter() - t0
     print(f"datagen: {datagen_s:.1f}s", flush=True)
 
