@@ -97,8 +97,12 @@ def _frontier():
     def bh_200k():
         n, steps = 200_000, 50
         pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
+        # bh2 (two-level far field, B=128 near recipe) overtook the
+        # one-level engine at 200k in round 3: 13.0 vs 18.4 ms/step at the
+        # same near-set accuracy tier (see ROUND3_NOTES.md)
         cfg = SimulationConfig(g_const=4.5e-6, softening=0.05, dt=1e-4,
-                               calc_energy=False, force_backend="bh",
+                               calc_energy=False, force_backend="bh2",
+                               bh_block=128, bh_coarse=16, bh_rc=48,
                                bh_refresh=8)
         el = timed(lambda: simulate(pos, vel, mass, steps, cfg),
                    lambda t: t.positions)
