@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1: record per-chunk honest wall times in the "
                         "step_time column instead of the uniform rollout "
                         "mean (see data.generate.run_scenario)")
+    p.add_argument("--no-energy", action="store_true",
+                   help="skip the exact O(N^2) per-snapshot energy columns "
+                        "(u, k become NaN) — required above ~500k bodies "
+                        "where one PE evaluation is a multi-minute kernel")
     p.add_argument("--check", action="store_true",
                    help="checkify NaN/Inf guard on every trajectory "
                         "(SURVEY.md §5.2)")
@@ -86,6 +90,7 @@ def main(argv=None):
         arm_strength=args.arm_strength,
         seed=args.seed,
         force_backend=args.force_backend,
+        calc_energy=not args.no_energy,
     )
     print(f"Generating {len(scenarios)} scenarios -> {args.output}")
     run = lambda: generate_dataset(

@@ -50,6 +50,12 @@ class ScenarioConfig:
     # ~1.8e-3 median force error on spirals, good surrogate ground truth
     bh_near: int = 32
     bh_refresh: int = 1
+    # Energy columns (u, k) are exact O(N^2) pairwise PE per recorded step
+    # (simulation.py:91-115 semantics). At 1M bodies that is ~5e11 pairs per
+    # snapshot — a single multi-minute device execution that the tunneled
+    # TPU worker cannot survive. Training datasets don't consume the energy
+    # columns, so large-N pipelines switch this off.
+    calc_energy: bool = True
 
 
 def scenario_product(**kwargs) -> List[ScenarioConfig]:
@@ -119,7 +125,7 @@ def run_scenario(cfg: ScenarioConfig, key=None, time_chunks: int = 1):
         softening=cfg.softening,
         dt=cfg.dt,
         integrator=cfg.integrator,
-        calc_energy=True,
+        calc_energy=cfg.calc_energy,
         force_backend=cfg.force_backend,
         bh_near=cfg.bh_near,
         bh_refresh=cfg.bh_refresh,
@@ -164,6 +170,11 @@ def run_scenario(cfg: ScenarioConfig, key=None, time_chunks: int = 1):
     return traj, np.asarray(mass), times
 
 
+def _energy_col(x, s: int) -> np.ndarray:
+    """Energy column as (s,) numpy; NaN-filled when not computed."""
+    return np.full(s, np.nan, np.float32) if x is None else np.asarray(x)
+
+
 def trajectory_to_rows(
     scene_id: int, cfg: ScenarioConfig, traj: Trajectory, mass: np.ndarray,
     step_time: float, step_idx: Optional[np.ndarray] = None,
@@ -180,8 +191,10 @@ def trajectory_to_rows(
     p = np.asarray(traj.positions).reshape(s * n, 3)
     v = np.asarray(traj.velocities).reshape(s * n, 3)
     a = np.asarray(traj.accelerations).reshape(s * n, 3)
-    u = np.repeat(np.asarray(traj.u_energy), n)
-    k = np.repeat(np.asarray(traj.k_energy), n)
+    # calc_energy=False trajectories carry None energies: keep the schema
+    # columns (s01:238-239) but fill NaN
+    u = np.repeat(_energy_col(traj.u_energy, s), n)
+    k = np.repeat(_energy_col(traj.k_energy, s), n)
     st = (
         np.repeat(np.asarray(step_time, np.float64), n)
         if np.ndim(step_time)
@@ -220,7 +233,7 @@ def run_scenario_group(cfgs: Sequence[ScenarioConfig], keys=None):
         softening=base.softening,
         dt=base.dt,
         integrator=base.integrator,
-        calc_energy=True,
+        calc_energy=base.calc_energy,
         force_backend=base.force_backend,
         bh_near=base.bh_near,
         bh_refresh=base.bh_refresh,
@@ -348,8 +361,9 @@ def generate_dataset(
         npz_payload[f"scene{scene_id}_vel"] = np.asarray(traj.velocities)
         npz_payload[f"scene{scene_id}_acc"] = np.asarray(traj.accelerations)
         npz_payload[f"scene{scene_id}_mass"] = mass
-        npz_payload[f"scene{scene_id}_u"] = np.asarray(traj.u_energy)
-        npz_payload[f"scene{scene_id}_k"] = np.asarray(traj.k_energy)
+        n_snap = int(traj.positions.shape[0])
+        npz_payload[f"scene{scene_id}_u"] = _energy_col(traj.u_energy, n_snap)
+        npz_payload[f"scene{scene_id}_k"] = _energy_col(traj.k_energy, n_snap)
         npz_payload[f"scene{scene_id}_step"] = step_idx.astype(np.int32)
         npz_payload[f"scene{scene_id}_meta"] = np.array(
             [scene_id, cfg.steps, cfg.n_bodies, float(np.mean(step_time))],

@@ -118,6 +118,10 @@ def main(argv=None):
             steps=args.steps, dt=DT, softening=EPS, g=G, seed=seed,
             force_backend="bh", bh_near=args.bh_near,
             bh_refresh=args.bh_refresh,
+            # exact pairwise PE per snapshot is O(N^2) — a multi-minute
+            # single execution at 1M that crashes the tunneled worker, and
+            # training never reads the energy columns
+            calc_energy=False,
         )
 
     # --- stage 1: BH ground-truth datagen -------------------------------

@@ -72,3 +72,37 @@ def test_snapshot_stride_and_npz_only(tmp_path):
     assert not (tmp_path / "only.csv").exists()
     ds2 = SnapshotDataset.from_file(out2)  # resolves the npz twin
     assert ds2.n_snapshots == 5
+
+
+def test_calc_energy_off(tmp_path):
+    """calc_energy=False skips the O(N^2) per-snapshot PE (the 1M-body
+    datagen enabler): u/k columns become NaN in both CSV and npz, the
+    dynamics are untouched, and the dataset loader still reads the npz."""
+    from nbody_tpu.data.dataset import SnapshotDataset
+
+    base = dict(n_bodies=8, steps=6, sim_type="disk", seed=3,
+                force_backend="dense")
+    out = str(tmp_path / "e.csv")
+    generate_dataset([ScenarioConfig(**base, calc_energy=False)], out,
+                     verbose=False)
+    df = pd.read_csv(out)
+    assert df["u"].isna().all() and df["k"].isna().all()
+    z = np.load(out[:-4] + ".npz")
+    assert np.isnan(z["scene0_u"]).all() and np.isnan(z["scene0_k"]).all()
+
+    ref = str(tmp_path / "ref.csv")
+    generate_dataset([ScenarioConfig(**base)], ref, verbose=False)
+    zr = np.load(ref[:-4] + ".npz")
+    np.testing.assert_array_equal(z["scene0_pos"], zr["scene0_pos"])
+    np.testing.assert_array_equal(z["scene0_acc"], zr["scene0_acc"])
+    assert np.isfinite(zr["scene0_u"]).all()
+
+    ds = SnapshotDataset.from_npz(out[:-4] + ".npz")
+    assert ds.n_snapshots == 6
+
+    # chunked-timing branch (the large-N recipe) honors the flag too
+    out2 = str(tmp_path / "e2.csv")
+    generate_dataset([ScenarioConfig(**base, calc_energy=False)], out2,
+                     verbose=False, time_chunks=2, write_csv_file=False)
+    z2 = np.load(out2[:-4] + ".npz")
+    assert np.isnan(z2["scene0_u"]).all()
