@@ -1,8 +1,11 @@
 from nbody_tpu.ops.pairwise import pallas_accelerations
 from nbody_tpu.ops.treeforce import (
     BHPartition,
+    BH2Partition,
     bh_accelerations,
+    bh2_accelerations,
     build_bh_partition,
+    build_bh2_partition,
 )
 from nbody_tpu.ops.knn import knn_neighbors, batched_knn_neighbors
 from nbody_tpu.ops.radius import radius_neighbors
@@ -12,8 +15,11 @@ from nbody_tpu.ops.segment import masked_mean, masked_sum
 __all__ = [
     "pallas_accelerations",
     "BHPartition",
+    "BH2Partition",
     "bh_accelerations",
+    "bh2_accelerations",
     "build_bh_partition",
+    "build_bh2_partition",
     "knn_neighbors",
     "batched_knn_neighbors",
     "radius_neighbors",

@@ -10,11 +10,15 @@ VMEM across the j sweep. Per-coordinate broadcasts (TI,1)-(1,TJ) keep the
 arithmetic exact (no |a|^2+|b|^2-2ab cancellation) and entirely on the VPU.
 
 The kernel is *rectangular*: it computes forces exerted by a source set J on
-a target set I. ``diag_delta`` tells it where the self-interaction diagonal
-falls in local index space (global_j_base - global_i_base), which makes the same
-kernel serve both the single-device full product (delta=0) and each step of
-the multi-device ring (``nbody_tpu.parallel.ring``), where I and J are
-different shards of the global particle array.
+a target set I. The self-interaction needs no mask: a coincident pair's
+force is w * dx == w * 0 == 0 exactly (``_D2_FLOOR`` keeps w finite even at
+softening 0), so the same kernel serves both the single-device full product
+and each step of the multi-device ring (``nbody_tpu.parallel.ring``), where
+I and J are different shards of the global particle array. ``diag_delta``
+remains in the signature only for ABI parity with the energy kernel (which
+does mask the diagonal — PE would double-count it); the force kernel ignores
+it, so a caller whose "diagonal" pair is NOT coincident gets that pair's
+force included.
 
 The kernel is VPU-compute-bound (one rsqrt per pair). Measured tile sweep at
 N=102400 (v5e, forced-readback timing), after the diagonal-mask removal:
@@ -211,13 +215,15 @@ def pallas_partial_accelerations(
     interpret: bool = False,
 ) -> jax.Array:
     """Accelerations exerted on targets ``pos_i`` by sources
-    ``(pos_j, mass_j)``; the self-pair at global offset ``diag_delta`` is
-    excluded. Shapes must already be lane-aligned-friendly; this low-level
-    entry point does NO padding (see :func:`pallas_accelerations`).
+    ``(pos_j, mass_j)``. A coincident self-pair contributes an exact zero
+    (w * dx == 0 — see the module docstring), so no diagonal mask exists;
+    shapes must already be lane-aligned-friendly and this low-level entry
+    point does NO padding (see :func:`pallas_accelerations`).
 
-    :param diag_delta: traced int32 scalar, global_j_base - global_i_base
-        (the local-index offset of the global diagonal). For cross-shard ring
-        blocks |diag_delta| >= the block size, so nothing is masked.
+    :param diag_delta: traced int32 scalar, global_j_base - global_i_base.
+        ABI parity with the PE kernel only — the force kernel IGNORES it.
+        Do not rely on it to exclude a pair whose displacement is nonzero
+        (e.g. same index at different time levels): that force is included.
     """
     ni, nj = pos_i.shape[0], pos_j.shape[0]
     ti = min(tile_i, _round_up(ni, 8))

@@ -481,6 +481,14 @@ def knn_morton(
             f"the window={window} argument is ignored — tune `block` instead",
             stacklevel=2,
         )
+    if impl in ("pallas", "pallas_interpret") and 3 * block > 2048:
+        # the packed-min extraction ORs the candidate column into the low
+        # mantissa bits of the f32 distance key (_pack_d2_cols) — 11 bits
+        raise ValueError(
+            f"knn_morton(impl='pallas') supports block <= 682 (each select "
+            f"row scans 3*block packed candidates, max 2048); got "
+            f"block={block}. Use impl='xla' for larger blocks."
+        )
 
     if n <= max(2 * window + 1, 2 * block):
         # Small-N degenerate case: one dense block covers everything.

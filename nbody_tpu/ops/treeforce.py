@@ -715,6 +715,20 @@ def build_bh2_partition(
     nbc = nb // coarse
     n_near = min(n_near, nb)
     rc = min(rc, nbc)
+    if nbc > 2 and rc < 3:
+        # the forced fine near window (+-_ADJ curve blocks) can cross a
+        # superblock boundary; exact telescoping needs that parent forced
+        # into the refined set, i.e. a coarse window of at least +-1 —
+        # (rc-1)//2 >= 1. rc < 3 would leave a near block whose fine
+        # multipole is subtracted but never re-added by refinement.
+        raise ValueError(
+            f"build_bh2_partition needs rc >= 3 (got rc={rc} with "
+            f"{nbc} superblocks) — the forced +-{_ADJ}-block fine near "
+            "window must stay inside refined parents")
+    # near selection is restricted to refined parents: only rc*coarse fine
+    # blocks are allowed per receiver, so more slots would select
+    # _INF-masked disallowed blocks and break the telescoping
+    n_near = min(n_near, rc * coarse)
 
     keys = morton_keys(pos)
     gid = jnp.arange(n, dtype=jnp.int32)

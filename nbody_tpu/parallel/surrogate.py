@@ -80,6 +80,16 @@ def _output_head(params, x):
     return _dense(params[layers[-1]], x)
 
 
+def _apply_output_scale(model, out):
+    """Mirror GraphModel/ContinuousConvModel's trailing output_scale
+    division (gnn.py:179-180, contconv.py:306-307) — with output_scale=1e6
+    (the large-N training recipe) the net emits scaled targets and apply()
+    stays physical; the sharded forwards must divide identically."""
+    if model.output_scale != 1.0:
+        out = out / jnp.asarray(model.output_scale, out.dtype)
+    return out
+
+
 def _layer_norm(p, x, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
@@ -123,7 +133,8 @@ def _gnn_forward_local(model, params, pos_l, vel_l, mass_l, axis, shard):
     out = _layer_norm(
         params["LayerNorm_0"], jnp.concatenate([enc_l, h_l], axis=-1)
     )
-    return _output_head(params["OutputHead_0"], out)
+    out = _output_head(params["OutputHead_0"], out)
+    return _apply_output_scale(model, out)
 
 
 def sharded_predict(model, variables, pos, vel, mass, mesh: Mesh,
@@ -269,7 +280,8 @@ def _contconv_forward_local(model, params, bstats, pos_l, vel_l, mass_l,
     out = _layer_norm(
         params["LayerNorm_0"], jnp.concatenate([enc_l, h_l], axis=-1)
     )
-    return _output_head(params["OutputHead_0"], out)
+    out = _output_head(params["OutputHead_0"], out)
+    return _apply_output_scale(model, out)
 
 
 def sharded_contconv_predict(model, variables, pos, vel, mass, mesh: Mesh,

@@ -89,6 +89,18 @@ def _latest_healthy_epoch(trainer, save_path: str, first_batch) -> int:
             if step is None:
                 return 0
             if all_finite(tree["state"].params):
+                # apply the restore (mirrors Trainer._try_resume) so the
+                # trainer holds the checkpointed state even when no further
+                # training runs (epochs already reached => elastic_train
+                # returns without calling train_from_dir)
+                trainer.state = tree["state"]
+                trainer.epoch = int(tree["epoch"])
+                trainer.rng = jnp.asarray(tree["rng"])
+                if trainer.scheduler and "scheduler" in tree:
+                    trainer.scheduler.load_state_dict(
+                        {k: float(v) for k, v in tree["scheduler"].items()}
+                    )
+                    trainer._set_lr(trainer.scheduler.lr)
                 return int(tree["epoch"])
             print(f"Elastic: checkpoint at epoch {step} is unhealthy "
                   "(non-finite params) — deleting it")
@@ -136,8 +148,10 @@ def elastic_train(
                            shuffle=False)))
 
     # fresh-start fallback state (a fault before the first save rolls back
-    # to a re-seeded scratch run, not to the corrupted in-memory state)
+    # to a re-seeded scratch run, not to the corrupted in-memory state) —
+    # incl. the scheduler's plateau counters/LR, which the faulted run mutated
     rng0 = np.asarray(trainer.rng).copy()
+    sched0 = trainer.scheduler.state_dict() if trainer.scheduler else None
 
     loss_by_epoch: dict = {}
     mse_by_epoch: dict = {}
@@ -161,6 +175,8 @@ def elastic_train(
             trainer.state = None
             trainer.epoch = 0
             trainer.rng = jnp.asarray(rng0)
+            if sched0 is not None:
+                trainer.scheduler.load_state_dict(sched0)
         remaining = epochs - resumed
         if remaining <= 0:
             break

@@ -342,7 +342,18 @@ class Trainer:
         """Latest-by-step resume (trainer.py:38-52), incl. optimizer/scheduler."""
         self._ensure_state(batch)
         mgr = CheckpointManager(save_path)
-        step, tree = mgr.restore_latest(self._ckpt_tree())
+        template = self._ckpt_tree()
+        try:
+            step, tree = mgr.restore_latest(template)
+        except Exception:
+            # checkpoints written before the RNG key joined _ckpt_tree have
+            # a smaller tree; retry without it (the in-memory key stands in
+            # — stream continuity is only bit-exact for new checkpoints)
+            template.pop("rng")
+            step, tree = mgr.restore_latest(template)
+            tree["rng"] = np.asarray(self.rng)
+            print("Legacy checkpoint (no RNG key): resumed with the "
+                  "current in-memory key")
         if step is None:
             print("No checkpoint found")
             mgr.close()

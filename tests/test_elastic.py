@@ -152,3 +152,54 @@ def test_elastic_scratch_restart_without_checkpoint(tiny_data, tmp_path):
     assert res.restarts == 1
     assert trainer.epoch == 3
     assert np.isfinite(res.epoch_losses).all()
+
+
+def test_elastic_rerun_already_complete_restores_checkpoint(
+        tiny_data, tmp_path):
+    """Re-running elastic_train when the target epochs are already
+    checkpointed must leave the trainer holding the CHECKPOINTED state, not
+    freshly-initialized params (regression: the early break skipped the
+    restore)."""
+    ckpt = str(tmp_path / "ckpt")
+    t1 = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    elastic_train(t1, tiny_data, epochs=3, batch_size=8, save_path=ckpt,
+                  save_every=1, verbose=False)
+    trained = jax.tree_util.tree_leaves(t1.state.params)
+
+    t2 = Trainer(_model(), learning_rate=0.01, dt=DT, seed=99)
+    res = elastic_train(t2, tiny_data, epochs=3, batch_size=8,
+                        save_path=ckpt, save_every=1, verbose=False)
+    assert res.restarts == 0
+    assert t2.epoch == 3
+    for a, b in zip(trained, jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_elastic_scratch_restart_resets_scheduler(tiny_data, tmp_path):
+    """A fault before the first checkpoint re-seeds the run from scratch —
+    including the PlateauScheduler's counters, which the faulted attempt
+    mutated (regression: only state/epoch/rng were reset)."""
+    from nbody_tpu.train.optim import PlateauScheduler
+
+    sched = PlateauScheduler(lr=0.01, factor=0.5, patience=0)
+    trainer = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0,
+                      scheduler=sched)
+    state = {"armed": True}
+
+    def inject(epoch, losses, mses):
+        # let the plateau fire at least once, then corrupt before any save
+        sched.best = 0.0  # force num_bad_epochs growth on every epoch
+        if epoch == 2 and state["armed"]:
+            state["armed"] = False
+            trainer.state = trainer.state.replace(
+                params=_nan_params(trainer.state.params))
+
+    elastic_train(
+        trainer, tiny_data, epochs=3, batch_size=8,
+        save_path=str(tmp_path / "ckpt"), save_every=10,  # no save before fault
+        max_restarts=2, verbose=False, on_epoch_end=inject,
+    )
+    # scheduler was reloaded from its pre-run state on the scratch restart:
+    # the restarted run's plateau decays start from lr=0.01, not from the
+    # faulted run's decayed value compounded again
+    assert trainer.epoch == 3

@@ -33,6 +33,8 @@ def test_sharded_predict_matches_single_device(mesh8, encoder, aggr):
     model = GraphModel(
         input_dim=4, gnn_dim=16, message_passing_steps=2, aggr=aggr,
         node_encoder_dims=encoder, neighbors=5, scale_factor=1e6,
+        output_scale=1e3,  # non-default: pins the sharded forward's
+        # output_scale division (regression: it was silently omitted)
     )
     n = 64  # 8 per device
     pos, vel, mass, variables = _setup(model, n)
@@ -84,6 +86,7 @@ def test_sharded_contconv_matches_single_device(mesh8):
         continuous_conv_layers=2, continuous_conv_dim=8,
         encoder_hiddens=(8,), decoder_hiddens=(8,), scale_factor=1e6,
         radius_kmax=6, self_loops=True,
+        output_scale=1e3,  # non-default: pins the sharded forward's division
     )
     n = 48
     pos, vel, mass, variables = _setup(model, n, seed=3)
@@ -156,6 +159,8 @@ def test_sharded_loss_and_grad_matches_single_device(mesh8):
     model = GraphModel(
         input_dim=4, gnn_dim=16, message_passing_steps=2, aggr="mean",
         node_encoder_dims=(8,), neighbors=5, scale_factor=1e6,
+        output_scale=1e3,  # non-default: the sharded grad must descend the
+        # same (output-scaled) objective as the single-device trainer
     )
     n = 64
     pos, vel, mass, variables = _setup(model, n, seed=5)

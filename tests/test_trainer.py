@@ -279,3 +279,27 @@ def test_rollout_graph_refresh():
     np.testing.assert_allclose(
         np.asarray(reuse[0]), np.asarray(base[0]), rtol=1e-4, atol=1e-6
     )
+
+
+def test_resume_from_legacy_rngless_checkpoint(tiny_data, tmp_path):
+    """Checkpoints written before the RNG key joined _ckpt_tree (round 2)
+    restore with the in-memory key instead of crashing on the tree-structure
+    mismatch."""
+    from nbody_tpu.train.checkpoint import CheckpointManager
+
+    train_dir, _ = tiny_data
+    save = str(tmp_path / "ckpt")
+
+    t1 = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    t1.train_from_dir(train_dir, epochs=2, batch_size=8, verbose=False)
+
+    legacy = t1._ckpt_tree()
+    legacy.pop("rng")  # the round-2 tree shape
+    mgr = CheckpointManager(save)
+    mgr.save(2, legacy)
+    mgr.close()
+
+    t2 = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    t2.train_from_dir(train_dir, epochs=1, batch_size=8, save_path=save,
+                      verbose=False)
+    assert t2.epoch == 3  # resumed from the legacy epoch-2 checkpoint
