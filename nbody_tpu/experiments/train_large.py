@@ -91,6 +91,10 @@ def main(argv=None):
                    help="surrogate rollout horizon for eval (0 = up to the "
                         "last recorded ground-truth snapshot)")
     p.add_argument("--graph-refresh", type=int, default=8)
+    p.add_argument("--scan-chunk", type=int, default=None,
+                   help="max batches per training-scan dispatch — required "
+                        "at 1M bodies where a whole-bucket scan is one "
+                        "multi-minute execution (tunneled-worker crash)")
     p.add_argument("--data-dir", default="results/large_scale/data")
     p.add_argument("--out", default=None)
     p.add_argument("--skip-datagen", action="store_true",
@@ -194,6 +198,7 @@ def main(argv=None):
     losses, mses = trainer.train_from_dir(
         train_dir, epochs=args.epochs, batch_size=args.batch_size,
         batch_mode="bucketed", verbose=True, on_epoch_end=on_epoch,
+        scan_chunk=args.scan_chunk,
     )
     train_s = time.perf_counter() - t0
     print(f"train: {train_s:.1f}s, final loss {losses[-1]:.4f}", flush=True)

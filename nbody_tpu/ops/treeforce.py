@@ -217,6 +217,45 @@ def _multipole_acc(q, com, msum, quad, g, eps2):
     return g * jnp.sum(acc, axis=1)
 
 
+def _multipole_tile(g, eps2, qT, blk):
+    """Monopole+quadrupole pull of (TK, 10) block rows on a (3, TI)
+    receiver-plane tile — the shared body of :func:`_multipole_kernel` and
+    :func:`_grouped_multipole_kernel`. The arithmetic is
+    cancellation-critical: the near pass subtracts this same expansion
+    (``_block_multipole_sub``) so both kernels must match it at rounding
+    level; keep exactly one copy.
+
+    :param qT: (3, TI) receiver coordinate planes [x; y; z].
+    :param blk: (TK, 10) rows [com_xyz, msum, Qxx, Qyy, Qzz, Qxy, Qxz, Qyz]
+        (zero-msum/zero-Q padding contributes nothing).
+    :return: (3, TI) partial acceleration.
+    """
+    rx = qT[0:1, :] - blk[:, 0:1]  # (TK, TI) r = q - com
+    ry = qT[1:2, :] - blk[:, 1:2]
+    rz = qT[2:3, :] - blk[:, 2:3]
+    m = blk[:, 3:4]
+    qxx, qyy, qzz = blk[:, 4:5], blk[:, 5:6], blk[:, 6:7]
+    qxy, qxz, qyz = blk[:, 7:8], blk[:, 8:9], blk[:, 9:10]
+
+    s2 = rx * rx + ry * ry + rz * rz + eps2
+    inv = jax.lax.rsqrt(jnp.maximum(s2, _D2_FLOOR))
+    inv2 = inv * inv
+    inv3 = inv * inv2
+    inv5 = inv3 * inv2
+    inv7 = inv5 * inv2
+
+    qr_x = qxx * rx + qxy * ry + qxz * rz
+    qr_y = qxy * rx + qyy * ry + qyz * rz
+    qr_z = qxz * rx + qyz * ry + qzz * rz
+    rqr = qr_x * rx + qr_y * ry + qr_z * rz
+
+    cr = -m * inv3 - 2.5 * rqr * inv7  # radial coefficient
+    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=0, keepdims=True)
+    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=0, keepdims=True)
+    az = jnp.sum(cr * rz + inv5 * qr_z, axis=0, keepdims=True)
+    return g * jnp.concatenate([ax, ay, az], axis=0)  # (3, TI)
+
+
 def _multipole_kernel(scal_ref, qT_ref, blk_ref, acc_ref):
     """One (i, k) tile of the monopole+quadrupole far field.
 
@@ -235,33 +274,7 @@ def _multipole_kernel(scal_ref, qT_ref, blk_ref, acc_ref):
     acc_ref:   VMEM (3, TI)  accumulated over the k grid dimension
     """
     k = pl.program_id(1)
-    g = scal_ref[0]
-    eps2 = scal_ref[1]
-
-    rx = qT_ref[0:1, :] - blk_ref[:, 0:1]  # (TK, TI) r = q - com
-    ry = qT_ref[1:2, :] - blk_ref[:, 1:2]
-    rz = qT_ref[2:3, :] - blk_ref[:, 2:3]
-    m = blk_ref[:, 3:4]
-    qxx, qyy, qzz = blk_ref[:, 4:5], blk_ref[:, 5:6], blk_ref[:, 6:7]
-    qxy, qxz, qyz = blk_ref[:, 7:8], blk_ref[:, 8:9], blk_ref[:, 9:10]
-
-    s2 = rx * rx + ry * ry + rz * rz + eps2
-    inv = jax.lax.rsqrt(jnp.maximum(s2, _D2_FLOOR))
-    inv2 = inv * inv
-    inv3 = inv * inv2
-    inv5 = inv3 * inv2
-    inv7 = inv5 * inv2
-
-    qr_x = qxx * rx + qxy * ry + qxz * rz
-    qr_y = qxy * rx + qyy * ry + qyz * rz
-    qr_z = qxz * rx + qyz * ry + qzz * rz
-    rqr = qr_x * rx + qr_y * ry + qr_z * rz
-
-    cr = -m * inv3 - 2.5 * rqr * inv7  # radial coefficient
-    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=0, keepdims=True)
-    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=0, keepdims=True)
-    az = jnp.sum(cr * rz + inv5 * qr_z, axis=0, keepdims=True)
-    part = g * jnp.concatenate([ax, ay, az], axis=0)  # (3, TI)
+    part = _multipole_tile(scal_ref[0], scal_ref[1], qT_ref[:], blk_ref[:])
 
     @pl.when(k == 0)
     def _():
@@ -296,11 +309,7 @@ def pallas_multipole_acc(q, com, msum, quad, g, eps2, tile_i: int = 512,
     qT = q.T  # (3, P)
     if p_pad != p_:
         qT = jnp.pad(qT, ((0, 0), (0, p_pad - p_)))
-    blk = jnp.stack([
-        com[:, 0], com[:, 1], com[:, 2], msum,
-        quad[:, 0, 0], quad[:, 1, 1], quad[:, 2, 2],
-        quad[:, 0, 1], quad[:, 0, 2], quad[:, 1, 2],
-    ], axis=1)  # (K, 10)
+    blk = _blkT(com, msum, quad).T  # (K, 10), row order shared with _blkT
     if k_pad != k_:
         blk = jnp.pad(blk, ((0, k_pad - k_), (0, 0)))
     scal = jnp.stack([jnp.asarray(g, jnp.float32),
@@ -562,35 +571,7 @@ def _grouped_multipole_kernel(scal_ref, qT_ref, blk_ref, acc_ref):
     plane-oriented arithmetic as :func:`_multipole_kernel` (receivers on
     lanes, blocks on sublanes — avoids the 42.7x trailing-3 tiling pad)."""
     k = pl.program_id(2)
-    g = scal_ref[0]
-    eps2 = scal_ref[1]
-    qT = qT_ref[0]  # (3, TI)
-    blk = blk_ref[0]  # (TK, 10)
-
-    rx = qT[0:1, :] - blk[:, 0:1]
-    ry = qT[1:2, :] - blk[:, 1:2]
-    rz = qT[2:3, :] - blk[:, 2:3]
-    m = blk[:, 3:4]
-    qxx, qyy, qzz = blk[:, 4:5], blk[:, 5:6], blk[:, 6:7]
-    qxy, qxz, qyz = blk[:, 7:8], blk[:, 8:9], blk[:, 9:10]
-
-    s2 = rx * rx + ry * ry + rz * rz + eps2
-    inv = jax.lax.rsqrt(jnp.maximum(s2, _D2_FLOOR))
-    inv2 = inv * inv
-    inv3 = inv * inv2
-    inv5 = inv3 * inv2
-    inv7 = inv5 * inv2
-
-    qr_x = qxx * rx + qxy * ry + qxz * rz
-    qr_y = qxy * rx + qyy * ry + qyz * rz
-    qr_z = qxz * rx + qyz * ry + qzz * rz
-    rqr = qr_x * rx + qr_y * ry + qr_z * rz
-
-    cr = -m * inv3 - 2.5 * rqr * inv7
-    ax = jnp.sum(cr * rx + inv5 * qr_x, axis=0, keepdims=True)
-    ay = jnp.sum(cr * ry + inv5 * qr_y, axis=0, keepdims=True)
-    az = jnp.sum(cr * rz + inv5 * qr_z, axis=0, keepdims=True)
-    part = g * jnp.concatenate([ax, ay, az], axis=0)  # (3, TI)
+    part = _multipole_tile(scal_ref[0], scal_ref[1], qT_ref[0], blk_ref[0])
 
     @pl.when(k == 0)
     def _():

@@ -503,6 +503,7 @@ class Trainer:
         mixed_batches: bool = False,
         batch_mode: Optional[str] = None,
         lr_scale: Optional[float] = None,
+        scan_chunk: Optional[int] = None,
     ) -> Tuple[List[float], List[float]]:
         """Reference ``train_from_dir`` (trainer.py:20-92). Returns
         (epoch_losses, epoch_mse_losses) — means over all batches.
@@ -510,6 +511,12 @@ class Trainer:
         :param on_epoch_end: optional callback
             ``(epoch, epoch_losses, epoch_mse_losses) -> None`` — e.g. for
             incremental metrics persistence.
+        :param scan_chunk: cap on batches per ``_train_bucket`` dispatch
+            (bucketed mode). The default single whole-bucket scan is the
+            cheapest dispatch pattern, but at 1M bodies 100 batches make one
+            multi-minute device execution — beyond the ~60-90 s single-
+            execution limit that crashes tunneled TPU workers. 8-16 keeps
+            executions at seconds for pennies of extra dispatch latency.
         :param merge_files: pool every file's snapshots into shared buckets so
             batches mix scenes across files. The reference iterates one file
             at a time (trainer.py:63-65), which makes batches highly
@@ -597,17 +604,22 @@ class Trainer:
                         valids[b, : len(sel)] = True
                     self.rng, sub = jax.random.split(self.rng)
                     keys = jax.random.split(sub, nb)
-                    self.state, bucket_losses, bucket_mses = self._train_bucket(
-                        self.state,
-                        x_full,
-                        y_full,
-                        nv_full,
-                        jnp.asarray(sels),
-                        jnp.asarray(valids),
-                        keys,
-                    )
-                    losses.append(bucket_losses)
-                    mses.append(bucket_mses)
+                    chunk = nb if scan_chunk is None else max(1, scan_chunk)
+                    for c0 in range(0, nb, chunk):
+                        c1 = min(c0 + chunk, nb)
+                        self.state, bucket_losses, bucket_mses = (
+                            self._train_bucket(
+                                self.state,
+                                x_full,
+                                y_full,
+                                nv_full,
+                                jnp.asarray(sels[c0:c1]),
+                                jnp.asarray(valids[c0:c1]),
+                                keys[c0:c1],
+                            )
+                        )
+                        losses.append(bucket_losses)
+                        mses.append(bucket_mses)
             mean_loss = float(np.mean(np.concatenate([np.asarray(l) for l in losses])))
             mean_mse = float(np.mean(np.concatenate([np.asarray(m) for m in mses])))
             epoch_losses.append(mean_loss)

@@ -303,3 +303,21 @@ def test_resume_from_legacy_rngless_checkpoint(tiny_data, tmp_path):
     t2.train_from_dir(train_dir, epochs=1, batch_size=8, save_path=save,
                       verbose=False)
     assert t2.epoch == 3  # resumed from the legacy epoch-2 checkpoint
+
+
+def test_scan_chunk_is_bit_exact(tiny_data):
+    """scan_chunk splits the whole-bucket training scan into capped
+    dispatches (the 1M-body tunneled-worker enabler) without changing the
+    math: same seeds => identical epoch losses and parameters."""
+    train_dir, _ = tiny_data
+
+    t1 = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    l1, _ = t1.train_from_dir(train_dir, epochs=2, batch_size=4,
+                              verbose=False)
+    t2 = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    l2, _ = t2.train_from_dir(train_dir, epochs=2, batch_size=4,
+                              verbose=False, scan_chunk=2)
+    assert l1 == l2
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
