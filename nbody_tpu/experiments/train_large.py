@@ -203,6 +203,13 @@ def main(argv=None):
     train_s = time.perf_counter() - t0
     print(f"train: {train_s:.1f}s, final loss {losses[-1]:.4f}", flush=True)
 
+    # free the device-resident training buckets before eval: at 1M bodies
+    # they hold ~8 GB of HBM (2 scenes x 100 x (1M, 7+3) f32) and the
+    # rollout OOMed against them (measured: RESOURCE_EXHAUSTED at the
+    # 48-step rollout with training caches live)
+    trainer._dev_cache.clear()
+    trainer._ds_cache.clear()
+
     # --- stage 3: eval ---------------------------------------------------
     test_ds = SnapshotDataset.from_file(test_csv)
     traj = test_ds.scene_trajectory(0)
@@ -235,6 +242,47 @@ def main(argv=None):
         model.scale_factor * np.sqrt((np.asarray(b.y) ** 2).mean()))
     print(f"stepwise scaled RMSE: {stepwise:.4f} "
           f"(predict-zero baseline {zero_baseline:.4f})", flush=True)
+
+    # persist training + stepwise results BEFORE the rollout: a rollout
+    # failure (OOM/worker crash at large N) must not lose a half-hour of
+    # training evidence
+    result = {
+        "n_bodies": n,
+        "model": args.model,
+        "device": jax.devices()[0].platform,
+        "dataset": {
+            "train_scenes": args.train_scenes, "steps": args.steps,
+            "stride": args.stride, "bh_near": args.bh_near,
+            "datagen_seconds": round(datagen_s, 1),
+            "snapshots_per_scene": int(np.ceil(args.steps / args.stride)),
+        },
+        "training": {
+            "epochs": args.epochs, "batch_size": args.batch_size,
+            "lr": args.lr, "output_scale": args.output_scale,
+            "neighbors": args.neighbors, "scan_chunk": args.scan_chunk,
+            "remat": bool(args.remat),
+            "final_scaled_rmse": losses[-1],
+            "first_scaled_rmse": losses[0],
+            "seconds_total": round(train_s, 1),
+            "seconds_per_epoch": [round(w, 2) for w in epoch_walls],
+        },
+        "eval": {
+            "stepwise_scaled_rmse": stepwise,
+            "predict_zero_baseline_scaled_rmse": zero_baseline,
+        },
+    }
+    mtag = "" if args.model == "gnn" else f"_{args.model}"
+    out = args.out or f"results/large_scale/train_{tag}{mtag}.json"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    import pandas as pd
+
+    pd.DataFrame({"epoch": np.arange(1, len(losses) + 1), "loss": losses,
+                  "mse_loss": mses,
+                  "wall_s": epoch_walls[: len(losses)]}).to_csv(
+        out[:-5] + "_epoch_loss.csv", index=False)
+    print(f"wrote {out} (pre-rollout)", flush=True)
 
     # rollout vs BH ground truth + exact forces
     horizon = args.rollout_steps or int(step_idx[-1])
@@ -275,53 +323,22 @@ def main(argv=None):
     # |a| rows; error relative to the field's own RMS is the fair scalar
     acc_rel_rmse = float(acc_rmse / np.sqrt((a_exact ** 2).mean()))
 
-    result = {
-        "n_bodies": n,
-        "model": args.model,
-        "device": jax.devices()[0].platform,
-        "dataset": {
-            "train_scenes": args.train_scenes, "steps": args.steps,
-            "stride": args.stride, "bh_near": args.bh_near,
-            "datagen_seconds": round(datagen_s, 1),
-            "snapshots_per_scene": int(np.ceil(args.steps / args.stride)),
-        },
-        "training": {
-            "epochs": args.epochs, "batch_size": args.batch_size,
-            "lr": args.lr, "output_scale": args.output_scale,
-            "final_scaled_rmse": losses[-1],
-            "first_scaled_rmse": losses[0],
-            "seconds_total": round(train_s, 1),
-            "seconds_per_epoch": [round(w, 2) for w in epoch_walls],
-        },
-        "eval": {
-            "stepwise_scaled_rmse": stepwise,
-            "predict_zero_baseline_scaled_rmse": zero_baseline,
-            "rollout_horizon": horizon,
-            "rollout_seconds": round(rollout_s, 2),
-            "rollout_pos_rmse": rows,
-            "final_acc_median_rel_err_vs_exact": acc_med,
-            "final_acc_rmse_vs_exact": acc_rmse,
-            "final_acc_rel_rmse_vs_exact": acc_rel_rmse,
-        },
-    }
+    result["eval"].update({
+        "rollout_horizon": horizon,
+        "rollout_seconds": round(rollout_s, 2),
+        "rollout_pos_rmse": rows,
+        "final_acc_median_rel_err_vs_exact": acc_med,
+        "final_acc_rmse_vs_exact": acc_rmse,
+        "final_acc_rel_rmse_vs_exact": acc_rel_rmse,
+    })
     print(json.dumps({"final_loss": losses[-1], "stepwise": stepwise,
                       "zero_baseline": zero_baseline,
                       "final_pos_rmse": rows[-1]["pos_rmse"] if rows else None,
                       "acc_med_rel_err": acc_med,
                       "acc_rel_rmse": acc_rel_rmse}), flush=True)
 
-    mtag = "" if args.model == "gnn" else f"_{args.model}"
-    out = args.out or f"results/large_scale/train_{tag}{mtag}.json"
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
-    # epoch-loss CSV in the reference schema (gnn_experiment.py:93-95)
-    import pandas as pd
-
-    pd.DataFrame({"epoch": np.arange(1, len(losses) + 1), "loss": losses,
-                  "mse_loss": mses,
-                  "wall_s": epoch_walls[: len(losses)]}).to_csv(
-        out[:-5] + "_epoch_loss.csv", index=False)
     print(f"wrote {out}", flush=True)
 
 
