@@ -113,7 +113,7 @@ def main(argv=None):
         pos_p = jnp.pad(p_end, ((0, n_pad - n), (0, 0)))
         mass_p = jnp.pad(mass, (0, n_pad - n))
         exact = jax.jit(lambda q, pj, mj: pallas_partial_accelerations(
-            q, pj, mj, G, EPS, diag_delta=n_pad + s + 1
+            q, pj, mj, G, EPS
         ))(p_end[idx], pos_p, mass_p)
         from nbody_tpu.ops.treeforce import (bh2_accelerations,
                                              bh_accelerations)

@@ -51,7 +51,7 @@ def main(argv=None):
     for ti, tj in tiles:
         fn = jax.jit(
             lambda p, m, ti=ti, tj=tj: pallas_partial_accelerations(
-                p, p, m, G, EPS, diag_delta=0, tile_i=ti, tile_j=tj
+                p, p, m, G, EPS, tile_i=ti, tile_j=tj
             )
         )
         r = fn(pos, mass)

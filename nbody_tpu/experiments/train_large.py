@@ -167,7 +167,13 @@ def main(argv=None):
                 output_scale=args.output_scale, conv_impl=conv_impl,
             )
 
-        train_impl = None if args.conv_impl in (None, "xla") else "pallas"
+        # the Mosaic training kernel only compiles on TPU; elsewhere fall
+        # back to the interpreted kernel (same math and VJP, CPU-speed) so
+        # --conv-impl pallas behaves like the other on_tpu-keyed switches
+        train_impl = (
+            None if args.conv_impl in (None, "xla")
+            else ("pallas" if on_tpu else "pallas_interpret")
+        )
         model = _contconv(train_impl)
         rollout_model = _contconv("pallas" if on_tpu else None)
     else:

@@ -142,9 +142,9 @@ def main(argv=None):
             approx = fresh(pos)
         elif args.error_sample:
             # sampled exact: S receivers vs ALL sources, O(S*N). Self-pairs
-            # need no exclusion (zero displacement => zero force), so
-            # diag_delta is pushed out of range. Sources zero-mass-padded
-            # to the tile multiple (the low-level kernel does no padding).
+            # need no exclusion (zero displacement => zero force). Sources
+            # zero-mass-padded to the tile multiple (the low-level kernel
+            # does no padding).
             from nbody_tpu.ops.pairwise import pallas_partial_accelerations
 
             s = args.error_sample
@@ -154,7 +154,7 @@ def main(argv=None):
             pos_p = jnp.pad(pos, ((0, n_pad - n), (0, 0)))
             mass_p = jnp.pad(mass, (0, n_pad - n))
             exact = jax.jit(lambda q, pj, mj: pallas_partial_accelerations(
-                q, pj, mj, G, EPS, diag_delta=n_pad + s + 1
+                q, pj, mj, G, EPS
             ))(pos[idx], pos_p, mass_p)
             approx = fresh(pos)[idx]
             row["error_sample"] = s

@@ -279,7 +279,11 @@ def _collect_fwd_rule(gx, gy, gz, window, feat_j, filters, d, tile, chunk,
 
 def _collect_bwd_rule(d, tile, chunk, interpret, res, dout):
     gx, gy, gz, window, feat_j, filters = res
-    p = _prep(gx, gy, gz, window, feat_j,
+    # run the whole backward in f32 regardless of the forward's feat dtype:
+    # _prep casts filters to feat_j.dtype, so a bf16 feat_j would round the
+    # filter bank before the dfeat matmuls and weaken the exact-parameter-
+    # grad contract (ADVICE r3) — cast feat_j up FIRST
+    p = _prep(gx, gy, gz, window, feat_j.astype(jnp.float32),
               filters.astype(jnp.float32), d, tile, chunk)
     chunk, n2, nt, mp, k = p["chunk"], p["n2"], p["nt"], p["mp"], p["k"]
     ci, ci0, co = p["ci"], p["ci0"], p["co"]

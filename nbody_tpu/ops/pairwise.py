@@ -14,11 +14,10 @@ a target set I. The self-interaction needs no mask: a coincident pair's
 force is w * dx == w * 0 == 0 exactly (``_D2_FLOOR`` keeps w finite even at
 softening 0), so the same kernel serves both the single-device full product
 and each step of the multi-device ring (``nbody_tpu.parallel.ring``), where
-I and J are different shards of the global particle array. ``diag_delta``
-remains in the signature only for ABI parity with the energy kernel (which
-does mask the diagonal — PE would double-count it); the force kernel ignores
-it, so a caller whose "diagonal" pair is NOT coincident gets that pair's
-force included.
+I and J are different shards of the global particle array. The energy kernel
+DOES mask its diagonal (PE would double-count it); the force entry point's
+``diag_delta`` parameter is deprecated and ignored (passing it warns — it
+cannot exclude a non-coincident pair).
 
 The kernel is VPU-compute-bound (one rsqrt per pair). Measured tile sweep at
 N=102400 (v5e, forced-readback timing), after the diagonal-mask removal:
@@ -209,7 +208,7 @@ def pallas_partial_accelerations(
     mass_j: jax.Array,
     g_const,
     softening,
-    diag_delta=0,
+    diag_delta=None,
     tile_i: int = 256,
     tile_j: int = 1024,
     interpret: bool = False,
@@ -220,11 +219,23 @@ def pallas_partial_accelerations(
     shapes must already be lane-aligned-friendly and this low-level entry
     point does NO padding (see :func:`pallas_accelerations`).
 
-    :param diag_delta: traced int32 scalar, global_j_base - global_i_base.
-        ABI parity with the PE kernel only — the force kernel IGNORES it.
-        Do not rely on it to exclude a pair whose displacement is nonzero
-        (e.g. same index at different time levels): that force is included.
+    :param diag_delta: DEPRECATED, ignored. The force kernel has no
+        diagonal mask (a coincident self-pair cancels exactly), so this
+        parameter cannot exclude a pair whose displacement is nonzero —
+        passing any value warns. It survives only so legacy callers fail
+        soft rather than hard; it will be removed.
     """
+    if diag_delta is not None:
+        import warnings
+
+        warnings.warn(
+            "pallas_partial_accelerations(diag_delta=...) is deprecated "
+            "and IGNORED: the force kernel has no diagonal mask (a "
+            "coincident self-pair cancels to exact zero) and cannot "
+            "exclude a non-coincident pair.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     ni, nj = pos_i.shape[0], pos_j.shape[0]
     ti = min(tile_i, _round_up(ni, 8))
     tj = min(tile_j, _round_up(nj, 128))
@@ -242,7 +253,9 @@ def pallas_partial_accelerations(
     fscal = jnp.stack(
         [jnp.asarray(g_const, jnp.float32), jnp.asarray(softening, jnp.float32)]
     )
-    delta = jnp.asarray(diag_delta, jnp.int32).reshape((1,))
+    # kernel ABI keeps the SMEM delta slot (shared with the PE kernel,
+    # which does mask its diagonal); the force kernel ignores it
+    delta = jnp.zeros((1,), jnp.int32)
 
     return pl.pallas_call(
         _force_kernel,
@@ -308,7 +321,6 @@ def pallas_accelerations(
         mass_p,
         g_const,
         softening,
-        diag_delta=0,
         tile_i=ti,
         tile_j=tj,
         interpret=interpret,

@@ -480,12 +480,10 @@ def _near_chunk(q_flat, nearc, blk_pos, blk_m, com, msum, quad, g, eps2,
     if use_pallas:
         from nbody_tpu.ops.pairwise import pallas_partial_accelerations
 
-        # self-pairs need no masking (zero displacement => zero force):
-        # diag_delta beyond every local row-col offset disables the mask
+        # self-pairs need no masking (zero displacement => zero force)
         a_exact = jax.vmap(
             lambda qb, cb, mb: pallas_partial_accelerations(
                 qb, cb, mb, g, jnp.sqrt(eps2),
-                diag_delta=m * b + b + 1,
                 interpret=interpret,
             )
         )(q, c, w_m)

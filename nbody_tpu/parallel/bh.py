@@ -236,6 +236,12 @@ def sharded_bh2_accelerations(
         block = partition.sorted_gid.shape[0] // nb
         nbc = partition.refined.shape[0]
         coarse = nb // nbc
+        # rc/n_near are only used when fwd BUILDS a partition — with a
+        # prebuilt one they would be dead except as lru_cache keys, so
+        # derive them from the partition itself: differing caller values
+        # must not compile duplicate identical programs (ADVICE r3)
+        rc = partition.refined.shape[1]
+        n_near = partition.near.shape[1]
     else:
         nb = -(-n // block)
         nbc = -(-nb // coarse)

@@ -6,8 +6,9 @@ and a rotating j-chunk of force sources. Every ring step computes the partial
 forces of the resident j-chunk on the local i-chunk, then rotates the j-chunk
 to the next device with ``jax.lax.ppermute`` over ICI — structurally ring
 attention applied to gravity. After ``n_devices`` hops every i-chunk has seen
-every source exactly once and the diagonal was masked exactly once (via the
-global ``diag_delta`` logic shared with the Pallas kernel).
+every source exactly once; the global self-pair contributes zero exactly
+once (masked via ``diag_delta`` in the dense backend, cancelled by the
+zero displacement inside the Pallas kernel).
 
 The reference has no distributed path at all (no NCCL/MPI anywhere); its
 O(N^2) broadcast caps out around 10^4 bodies on one device. This ring is how
@@ -56,12 +57,16 @@ def _block_accelerations_dense(pos_i, pos_j, mass_j, g_const, softening, diag_de
 
 
 def _block_accelerations_pallas(pos_i, pos_j, mass_j, g_const, softening, diag_delta):
+    # diag_delta is unused: the kernel has no diagonal mask — the only
+    # coincident pairs in a ring hop are global self-pairs, whose force
+    # cancels to exact zero inside the kernel (ops/pairwise.py)
+    del diag_delta
     from nbody_tpu.ops.pairwise import pallas_partial_accelerations
 
     n = pos_i.shape[0]
     tile = min(256, -(-n // 128) * 128)
     return pallas_partial_accelerations(
-        pos_i, pos_j, mass_j, g_const, softening, diag_delta=diag_delta,
+        pos_i, pos_j, mass_j, g_const, softening,
         tile_i=tile, tile_j=tile,
     )
 
@@ -69,15 +74,16 @@ def _block_accelerations_pallas(pos_i, pos_j, mass_j, g_const, softening, diag_d
 def _block_accelerations_pallas_interpret(
     pos_i, pos_j, mass_j, g_const, softening, diag_delta
 ):
-    """Interpreter-mode Pallas block — validates the cross-shard diag_delta
-    kernel logic on the CPU test mesh (SURVEY.md §5.2: interpret mode as the
+    """Interpreter-mode Pallas block — validates the cross-shard kernel
+    logic on the CPU test mesh (SURVEY.md §5.2: interpret mode as the
     kernel 'sanitizer')."""
+    del diag_delta  # see _block_accelerations_pallas
     from nbody_tpu.ops.pairwise import pallas_partial_accelerations
 
     n = pos_i.shape[0]
     tile = min(256, -(-n // 128) * 128)
     return pallas_partial_accelerations(
-        pos_i, pos_j, mass_j, g_const, softening, diag_delta=diag_delta,
+        pos_i, pos_j, mass_j, g_const, softening,
         tile_i=tile, tile_j=tile, interpret=True,
     )
 

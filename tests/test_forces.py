@@ -127,3 +127,21 @@ def test_pallas_potential_energy_matches_dense():
         pallas_potential_energy(pos, mass, G, EPS, mask=mask, interpret=True)
     )
     assert abs(u_pal_m - u_ref_m) < 1e-5 * abs(u_ref_m)
+
+
+def test_partial_acc_diag_delta_deprecated():
+    """diag_delta is ignored by the force kernel — passing it must warn
+    (ADVICE r3: a dead argument whose name implies exclusion is a trap)."""
+    from nbody_tpu.ops.pairwise import pallas_partial_accelerations
+
+    pos, _, mass = _random_system(64)
+    with pytest.warns(DeprecationWarning, match="diag_delta"):
+        got = pallas_partial_accelerations(
+            jnp.asarray(pos), jnp.asarray(pos), jnp.asarray(mass), G, EPS,
+            diag_delta=7, interpret=True,
+        )
+    want = pallas_partial_accelerations(
+        jnp.asarray(pos), jnp.asarray(pos), jnp.asarray(mass), G, EPS,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
