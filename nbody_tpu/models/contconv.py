@@ -46,12 +46,20 @@ DEFAULT_RADIUS_KMAX = 32  # PyG radius_graph's silent max_num_neighbors default
 
 def ball_to_cube(r: jax.Array) -> jax.Array:
     """Radial tanh mapping of displacement vectors into the unit cube
-    (contconv.py:30-33): r_unit * tanh(|r|)."""
-    norm = jnp.linalg.norm(r, axis=-1, keepdims=True)
+    (contconv.py:30-33): r_unit * tanh(|r|).
+
+    The norm uses the safe-sqrt pattern (``sqrt(max(|r|^2, tiny))``): a
+    plain ``jnp.linalg.norm`` has a NaN VJP at r = 0, and self-loop edges
+    ARE r = 0 — position gradients through the layer (differentiable
+    rollout) would be NaN-poisoned. Forward values change by < 1e-12 only
+    inside |r| < 1e-12; at exactly r = 0 the gradient is the finite
+    one-sided limit instead of NaN."""
+    n2 = jnp.sum(r * r, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(n2, 1e-24))
     return r / (norm + 1e-8) * jnp.tanh(norm)
 
 
-def conv_geometry(pos, nbr_idx, nbr_valid, radius, tile=None):
+def conv_geometry(pos, nbr_idx, nbr_valid, radius, tile=None, pos_src=None):
     """Shared per-step edge geometry for a stack of ContinuousConv layers.
 
     Positions (and therefore the neighbor-position gather, the poly6
@@ -65,6 +73,10 @@ def conv_geometry(pos, nbr_idx, nbr_valid, radius, tile=None):
     bodies on v5e). Padded receiver rows carry window == 0 and
     in_radius == False, and are sliced off by the layer.
 
+    :param pos_src: optional separate gather source for neighbor positions
+        (``nbr_idx`` indexes into it). Defaults to ``pos``; the
+        particle-sharded forward passes the all-gathered full positions
+        here while ``pos`` holds only the local shard's rows.
     :return: dict with ``mapped`` (B, Na, k, 3), ``window`` / ``in_radius``
         (B, Na, k), ``nbr_idx`` (B, Na, k), original ``n``, and ``radius``.
     """
@@ -76,7 +88,8 @@ def conv_geometry(pos, nbr_idx, nbr_valid, radius, tile=None):
         pos_i = jnp.pad(pos, ((0, 0), (0, na - n), (0, 0)))
     else:
         pos_i = pos
-    pos_j = gather_neighbors(pos, nbr_idx)  # (B, Na, k, 3)
+    pos_j = gather_neighbors(pos if pos_src is None else pos_src,
+                             nbr_idx)  # (B, Na, k, 3)
     r = pos_j - pos_i[:, :, None, :]  # neighbor - center (contconv.py:84)
     dist2 = jnp.sum(r * r, axis=-1)  # (B, Na, k)
     r2 = jnp.asarray(radius, dist2.dtype) ** 2
@@ -96,16 +109,17 @@ class ContinuousConv(nn.Module):
     """One continuous-convolution layer (contconv.py:10-98).
 
     ``impl`` selects the collect backend: ``None``/"xla" is the
-    collect-then-matmul einsum formulation (fully differentiable);
-    "pallas"/"pallas_interpret" is the fused VMEM-resident kernel
-    (``ops/contconv_kernel.py``) that never materialises the (B, N, k, D^3)
-    one-hot or (B, N, D^3, ci) corner-bin HBM intermediates — the large-N
-    path. The kernel carries an exact custom VJP for parameters (filters
-    and everything upstream through the gathered features) with ZERO
-    cotangents for geometry — i.e. training through it is exact, but
-    gradients w.r.t. POSITIONS require the XLA impl. Parity pinned by
-    tests/test_models.py::test_contconv_fused_kernel_matches_xla and
-    ::test_contconv_kernel_param_grads_match_xla."""
+    collect-then-matmul einsum formulation; "pallas"/"pallas_interpret" is
+    the fused VMEM-resident kernel (``ops/contconv_kernel.py``) that never
+    materialises the (B, N, k, D^3) one-hot or (B, N, D^3, ci) corner-bin
+    HBM intermediates — the large-N path. Both backends are fully
+    differentiable: the kernel's custom VJP is exact for parameters
+    (filters and everything upstream through the gathered features) AND
+    for positions (geometry cotangents from their own backward kernel,
+    which DCEs away in parameter-only training). Parity pinned by
+    tests/test_models.py::test_contconv_fused_kernel_matches_xla,
+    ::test_contconv_kernel_param_grads_match_xla and
+    ::test_contconv_kernel_position_grads_match_xla."""
 
     in_channels: int
     out_channels: int
@@ -115,7 +129,8 @@ class ContinuousConv(nn.Module):
     impl: Optional[str] = None  # None/"xla" | "pallas" | "pallas_interpret"
 
     @nn.compact
-    def __call__(self, pos, feat, nbr_idx, nbr_valid, geom=None):
+    def __call__(self, pos, feat, nbr_idx, nbr_valid, geom=None,
+                 feat_src=None):
         """:param pos: (B, N, 3) positions.
         :param feat: (B, N, ci) node features.
         :param nbr_idx/nbr_valid: (B, N, k) padded radius neighbor lists.
@@ -123,6 +138,11 @@ class ContinuousConv(nn.Module):
             with several conv layers shares one (positions are fixed
             within a step, so the window/ball-map work and the row-bound
             neighbor-position gather are layer-invariant).
+        :param feat_src: optional separate gather source for neighbor
+            features (``nbr_idx`` indexes into it); the particle-sharded
+            forward passes the all-gathered full features here (with a
+            matching ``pos_src`` geom) while ``pos``/``feat`` hold only the
+            local shard's rows.
         :return: (B, N, co).
         """
         d = self.filter_resolution
@@ -144,7 +164,9 @@ class ContinuousConv(nn.Module):
         b, na, k = nbr_idx.shape
 
         grid_coords = (mapped + 1.0) * ((d - 1) / 2.0)  # contconv.py:90
-        feat_j = gather_neighbors(feat, nbr_idx)  # (B, Na, k, ci)
+        feat_j = gather_neighbors(
+            feat if feat_src is None else feat_src, nbr_idx
+        )  # (B, Na, k, ci)
 
         if is_pallas:
             from nbody_tpu.ops.contconv_kernel import contconv_collect
@@ -224,10 +246,9 @@ class ContinuousConvModel(nn.Module):
     # scale raw ~1e-7 targets need); apply() stays in physical units
     radius_method: Optional[str] = None  # None/"exact" | "morton" (large N)
     radius_impl: Optional[str] = None  # morton backend: "xla" | "pallas"
-    conv_impl: Optional[str] = None  # collect backend: None/"xla" (fully
-    # differentiable) | "pallas"/"pallas_interpret" (fused VMEM kernel —
-    # exact parameter grads via its custom VJP, zero position grads;
-    # ops/contconv_kernel.py)
+    conv_impl: Optional[str] = None  # collect backend: None/"xla" |
+    # "pallas"/"pallas_interpret" (fused VMEM kernel; exact parameter AND
+    # position grads via its custom VJP — ops/contconv_kernel.py)
 
     @property
     def graph_spec(self):

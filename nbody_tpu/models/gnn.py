@@ -53,11 +53,18 @@ class EdgeConv(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, h, nbr_idx, nbr_valid):
+    def __call__(self, h, nbr_idx, nbr_valid, h_src=None):
+        """:param h_src: optional separate gather source for neighbor
+        features (``nbr_idx`` indexes into it). Defaults to ``h`` — the
+        single-device case. The particle-sharded forward
+        (``parallel/surrogate.py``) passes the all-gathered full array here
+        while ``h`` holds only the local shard's rows, so the sharded path
+        applies THIS module instead of hand-mirroring its math."""
+        src = h if h_src is None else h_src
         d1 = Dense(self.dim)
         d2 = Dense(self.dim)
         if not self.fused:
-            h_j = gather_neighbors(h, nbr_idx)  # (B, N, k, d)
+            h_j = gather_neighbors(src, nbr_idx)  # (B, N, k, d)
             h_i = h[:, :, None, :]
             msg_in = jnp.concatenate(
                 [jnp.broadcast_to(h_i, h_j.shape), h_j - h_i], axis=-1
@@ -67,9 +74,9 @@ class EdgeConv(nn.Module):
             e = d2(e)
             return masked_aggregate(e, nbr_valid, self.aggr, axis=2)
 
-        zeros = jnp.zeros_like(h)
+        zeros = jnp.zeros_like(src)
         u = d1(jnp.concatenate([h, -h], axis=-1))        # h @ (W1a-W1b) + b1
-        v = d1(jnp.concatenate([zeros, h], axis=-1))     # h @ W1b + b1
+        v = d1(jnp.concatenate([zeros, src], axis=-1))   # src @ W1b + b1
         b1 = d1(jnp.zeros((1, 1, 2 * h.shape[-1]), h.dtype))  # (1, 1, dim)
         v_j = gather_neighbors(v, nbr_idx)               # (B, N, k, dim)
         t = jnp.tanh(u[:, :, None, :] + v_j - b1[:, None])

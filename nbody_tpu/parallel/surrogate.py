@@ -15,28 +15,32 @@ shard's outputs:
         h_shard = aggr_j MLP([h_i || h_j - h_i])   # only local rows
     head(LayerNorm([enc_shard || h_shard]))        # local rows
 
-This reproduces ``models.gnn.GraphModel.__call__`` exactly (a CPU-mesh test
-asserts equality with the single-device forward); the layer math is applied
-manually from the model's own parameter tree because flax's compact modules
-can't be re-entered per-shard. Any change to ``GraphModel`` must be mirrored
-here — the equality test is the guard.
+This reproduces ``models.gnn.GraphModel.__call__`` /
+``models.contconv.ContinuousConvModel.__call__`` exactly by APPLYING the
+models' own flax submodules (``EdgeConv``, ``ContinuousConv``, ``MLP``,
+``OutputHead``, ``LayerNorm``) with the sliced parameter subtrees — the layer
+math lives in ``models/`` only. The one sharding-specific twist is the
+``h_src``/``feat_src``/``pos_src`` gather-source arguments those modules
+accept: neighbor indices reference the all-gathered full arrays while the
+receiver rows are the local shard. CPU-mesh equality tests
+(tests/test_sharded_surrogate.py) pin bit-parity with the single-device
+forwards.
 """
 
 from __future__ import annotations
 
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nbody_tpu.models.common import select_input_features
+from nbody_tpu.models.contconv import ContinuousConv, conv_geometry
+from nbody_tpu.models.gnn import EdgeConv
+from nbody_tpu.models.mlp import MLP, OutputHead
 from nbody_tpu.ops.knn import knn_query
-from nbody_tpu.ops.segment import masked_aggregate
 from nbody_tpu.train.graphs import build_graph
-
-
-def _dense(p, x):
-    return x @ p["kernel"] + p["bias"]
 
 
 def _shard_knn(model, pos_l, pos_full, me, shard):
@@ -62,24 +66,6 @@ def _shard_knn(model, pos_l, pos_full, me, shard):
     )
 
 
-def _mlp_encoder(params, x):
-    """models.mlp.MLP with norm=None, plain_last=True (gnn.py:56-65)."""
-    layers = sorted(params.keys(), key=lambda s: int(s.split("_")[1]))
-    for i, name in enumerate(layers):
-        x = _dense(params[name], x)
-        if i < len(layers) - 1:
-            x = jnp.tanh(x)
-    return x
-
-
-def _output_head(params, x):
-    """models.mlp.OutputHead: tanh sandwiches + plain final Linear."""
-    layers = sorted(params.keys(), key=lambda s: int(s.split("_")[1]))
-    for name in layers[:-1]:
-        x = jnp.tanh(_dense(params[name], x))
-    return _dense(params[layers[-1]], x)
-
-
 def _apply_output_scale(model, out):
     """Mirror GraphModel/ContinuousConvModel's trailing output_scale
     division (gnn.py:179-180, contconv.py:306-307) — with output_scale=1e6
@@ -90,18 +76,28 @@ def _apply_output_scale(model, out):
     return out
 
 
-def _layer_norm(p, x, eps=1e-5):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-
+def _head(model, params, enc_l, h_l):
+    """Skip-concat + LayerNorm + decoder + output_scale — the tail shared
+    verbatim by both model families (gnn.py:144-148, contconv.py:233-234),
+    applied through the models' own modules."""
+    out = nn.LayerNorm(epsilon=1e-5).apply(
+        {"params": params["LayerNorm_0"]},
+        jnp.concatenate([enc_l, h_l], axis=-1),
+    )
+    hiddens = (model.output_hiddens if hasattr(model, "output_hiddens")
+               else model.decoder_hiddens)
+    out_dim = (model.output_dim if hasattr(model, "output_dim")
+               else model.out_channels)
+    out = OutputHead(hiddens, out_dim, zero_init=model.zero_init_output).apply(
+        {"params": params["OutputHead_0"]}, out)
+    return _apply_output_scale(model, out)
 
 
 def _gnn_forward_local(model, params, pos_l, vel_l, mass_l, axis, shard):
     """One shard's rows of the GraphModel forward (the body shared by
     predict / rollout / training-grad): all_gather inputs, compute local
-    outputs. Mirrors ``models.gnn.GraphModel.__call__`` — the CPU-mesh
-    equality tests are the guard."""
+    outputs by applying the model's own submodules with the matching
+    parameter subtrees (``h_src`` = the gathered full feature array)."""
     me = jax.lax.axis_index(axis)
     x_l = jnp.concatenate([pos_l, vel_l, mass_l[:, None]], axis=-1)
     x_full = jax.lax.all_gather(x_l, axis, tiled=True)  # (N, 7)
@@ -111,30 +107,23 @@ def _gnn_forward_local(model, params, pos_l, vel_l, mass_l, axis, shard):
     h_full = select_input_features(x_full, model.input_dim)
     h_l = select_input_features(x_l, model.input_dim)
     if model.node_encoder_dims:
-        h_full = _mlp_encoder(params["MLP_0"], h_full)
+        h_full = MLP(
+            tuple(model.node_encoder_dims) + (model.gnn_dim,),
+            dropout=model.encoder_dropout, norm=None,
+        ).apply({"params": params["MLP_0"]}, h_full)
         h_l = jax.lax.dynamic_slice_in_dim(h_full, me * shard, shard)
     enc_l = h_l
 
+    conv_cls = nn.remat(EdgeConv) if model.remat else EdgeConv
     for li in range(model.message_passing_steps):
-        p = params[f"EdgeConv_{li}"]
-        h_j = h_full[idx]  # (shard, k, d) gather from the gathered array
-        msg = jnp.concatenate(
-            [
-                jnp.broadcast_to(h_l[:, None, :], h_j.shape),
-                h_j - h_l[:, None, :],
-            ],
-            axis=-1,
-        )
-        e = _dense(p["Dense_1"], jnp.tanh(_dense(p["Dense_0"], msg)))
-        h_l = masked_aggregate(e, valid, model.aggr, axis=1)
+        h_l = conv_cls(model.gnn_dim, model.aggr, model.fused_edgeconv).apply(
+            {"params": params[f"EdgeConv_{li}"]},
+            h_l[None], idx[None], valid[None], h_src=h_full[None],
+        )[0]
         if li < model.message_passing_steps - 1:
             h_full = jax.lax.all_gather(h_l, axis, tiled=True)
 
-    out = _layer_norm(
-        params["LayerNorm_0"], jnp.concatenate([enc_l, h_l], axis=-1)
-    )
-    out = _output_head(params["OutputHead_0"], out)
-    return _apply_output_scale(model, out)
+    return _head(model, params, enc_l, h_l)
 
 
 def sharded_predict(model, variables, pos, vel, mass, mesh: Mesh,
@@ -175,68 +164,19 @@ def sharded_predict(model, variables, pos, vel, mass, mesh: Mesh,
     )
 
 
-def _mlp_encoder_bn(params, bstats, x, eps=1e-5):
-    """models.mlp.MLP with norm='batch_norm' in eval mode (running stats) —
-    the ContConv encoder (contconv.py:135-141)."""
-    dense_names = sorted(
-        (k for k in params if k.startswith("Dense_")),
-        key=lambda s: int(s.split("_")[1]),
-    )
-    for i, name in enumerate(dense_names):
-        x = _dense(params[name], x)
-        if i < len(dense_names) - 1:  # plain_last
-            bn_p = params[f"MaskedBatchNorm_{i}"]
-            bn_s = bstats[f"MaskedBatchNorm_{i}"]
-            x = (x - bn_s["mean"]) * jax.lax.rsqrt(bn_s["var"] + eps)
-            x = x * bn_p["scale"] + bn_p["bias"]
-            x = jnp.tanh(x)
-    return x
-
-
-
-def _contconv_conv_layer(model, p, pos_l, pos_full, feat_full, idx, valid,
-                         d, radius):
-    """One shard's rows of one ContinuousConv layer (XLA collect path) —
-    shared by the sharded predict and rollout forwards."""
-    from nbody_tpu.models.contconv import ball_to_cube
-    from nbody_tpu.ops.interpolate import trilinear_corners
-
-    shard, k_max = idx.shape
-    pos_j = pos_full[idx]  # (shard, k, 3)
-    r = pos_j - pos_l[:, None, :]
-    dist2 = jnp.sum(r * r, axis=-1)
-    r2 = jnp.asarray(radius, dist2.dtype) ** 2
-    in_radius = (dist2 < r2) & valid
-    window = jnp.where(in_radius, (1.0 - dist2 / r2) ** 3, 0.0)
-    mapped = ball_to_cube(r)
-    grid_coords = (mapped + 1.0) * ((d - 1) / 2.0)
-    cidx, cw = trilinear_corners(grid_coords.reshape(-1, 3), d)
-    cidx = cidx.reshape(shard, k_max, 8)
-    cw = cw.reshape(shard, k_max, 8)
-    feat_j = feat_full[idx]
-    wf = feat_j * window[..., None]
-    cells = jnp.arange(d * d * d)
-    oh = jnp.zeros((shard, k_max, d * d * d), feat_j.dtype)
-    for c in range(8):
-        oh = oh + (cidx[..., c, None] == cells) * cw[..., c, None]
-    g = jnp.einsum("nkz,nki->nzi", oh, wf)
-    ci = p["filters"].shape[3]
-    out = jnp.einsum(
-        "nzi,zio->no", g, p["filters"].reshape(d * d * d, ci, -1)
-    )
-    if model.agg == "mean":
-        cnt = jnp.sum(in_radius.astype(out.dtype), axis=-1, keepdims=True)
-        out = out / jnp.maximum(cnt, 1.0)
-    return out
-
-
 def _contconv_forward_local(model, params, bstats, pos_l, vel_l, mass_l,
-                            axis, shard):
-    """One shard's rows of the ContinuousConvModel forward (eval mode):
-    radius graph per query shard against the all-gathered positions, each
-    conv layer all_gathers its input features. Mirrors
-    ``models.contconv.ContinuousConvModel.__call__``; the CPU-mesh
-    equality test is the guard."""
+                            axis, shard, train=False):
+    """One shard's rows of the ContinuousConvModel forward: radius graph per
+    query shard against the all-gathered positions, each conv layer
+    all_gathers its input features and is applied through the model's own
+    ``ContinuousConv`` module (``feat_src`` = the gathered full features).
+
+    ``train=True`` runs the encoder BatchNorm in batch-statistics mode on
+    the REPLICATED full node array — exactly the statistics the
+    single-device forward computes over the same (1, N) batch — and returns
+    ``(out_l, new_bstats)`` so the sharded training step can carry the
+    running stats. Eval mode returns ``out_l`` only.
+    """
     resolutions = model._resolutions()
     me = jax.lax.axis_index(axis)
     x_l = jnp.concatenate([pos_l, vel_l, mass_l[:, None]], axis=-1)
@@ -263,25 +203,55 @@ def _contconv_forward_local(model, params, bstats, pos_l, vel_l, mass_l,
         idx = jnp.where(valid, idx, 0)
 
     h_full = select_input_features(x_full, model.in_channels)
+    new_bstats = bstats
     if model.encoder_hiddens:
-        h_full = _mlp_encoder_bn(params["MLP_0"], bstats["MLP_0"], h_full)
+        enc = MLP(
+            tuple(model.encoder_hiddens) + (model.continuous_conv_dim,),
+            dropout=model.encoder_dropout, norm="batch_norm",
+        )
+        enc_vars = {"params": params["MLP_0"],
+                    "batch_stats": bstats["MLP_0"]}
+        if train:
+            assert model.encoder_dropout == 0.0, (
+                "sharded training does not thread dropout RNGs")
+            h_full, mut = enc.apply(enc_vars, h_full[None], train=True,
+                                    mutable=["batch_stats"])
+            h_full = h_full[0]
+            new_bstats = {"MLP_0": mut["batch_stats"]}
+        else:
+            h_full = enc.apply(enc_vars, h_full[None])[0]
     h_l = jax.lax.dynamic_slice_in_dim(h_full, me * shard, shard)
     enc_l = h_l
 
+    is_pallas = model.conv_impl in ("pallas", "pallas_interpret")
+    geom = conv_geometry(pos_l[None], idx[None], valid[None], model.radius,
+                         tile=64 if is_pallas else None,
+                         pos_src=pos_full[None])
     for li in range(model.continuous_conv_layers):
-        p = params[f"ContinuousConv_{li}"]
+        ci = (
+            model.in_channels
+            if (li == 0 and not model.encoder_hiddens)
+            else model.continuous_conv_dim
+        )
         h_l = jnp.tanh(
-            _contconv_conv_layer(model, p, pos_l, pos_full, h_full, idx,
-                                 valid, resolutions[li], model.radius)
+            ContinuousConv(
+                in_channels=ci,
+                out_channels=model.continuous_conv_dim,
+                filter_resolution=resolutions[li],
+                radius=model.radius,
+                agg=model.agg,
+                impl=model.conv_impl,
+            ).apply(
+                {"params": params[f"ContinuousConv_{li}"]},
+                pos_l[None], h_l[None], idx[None], valid[None],
+                geom=geom, feat_src=h_full[None],
+            )[0]
         )
         if li < model.continuous_conv_layers - 1:
             h_full = jax.lax.all_gather(h_l, axis, tiled=True)
 
-    out = _layer_norm(
-        params["LayerNorm_0"], jnp.concatenate([enc_l, h_l], axis=-1)
-    )
-    out = _output_head(params["OutputHead_0"], out)
-    return _apply_output_scale(model, out)
+    out = _head(model, params, enc_l, h_l)
+    return (out, new_bstats) if train else out
 
 
 def sharded_contconv_predict(model, variables, pos, vel, mass, mesh: Mesh,
@@ -372,6 +342,52 @@ def sharded_rollout(model, variables, pos0, vel0, mass, steps: int, dt: float,
     )
 
 
+def _sharded_rmse_step(local_sse, params, inputs, n, mesh, axis,
+                       has_aux=False):
+    """Shared scaffolding of the sharded training steps: differentiate the
+    LOCAL sum of squares only — no psum inside the AD path (psum transposes
+    to psum under shard_map, which would scale every cotangent by n_dev).
+    The all_gathers inside the forward transpose to reduce-scatters as
+    usual. Then reduce the partials and apply the sqrt chain rule
+    explicitly:
+
+        L = sqrt(S / (3n)),  dL/dp = psum(dS_local/dp) / (2 * 3n * L)
+
+    :param local_sse: f(params, pos_l, vel_l, mass_l, y_l) -> sse scalar
+        (or (sse, aux) with ``has_aux``).
+    :param inputs: (pos, vel, mass, y) full arrays to shard.
+    :return: (loss, grads[, aux]) — loss a replicated scalar, grads a
+        params-tree of replicated full gradients.
+    """
+
+    def step(p, pos_l, vel_l, mass_l, y_l):
+        out = jax.value_and_grad(local_sse, has_aux=has_aux)(
+            p, pos_l, vel_l, mass_l, y_l)
+        if has_aux:
+            (sse_l, aux), g_l = out
+        else:
+            sse_l, g_l = out
+        total = jax.lax.psum(sse_l, axis)
+        loss = jnp.sqrt(total / (n * 3))
+        coef = 0.5 / jnp.maximum(loss * (n * 3), 1e-30)
+        g = jax.tree_util.tree_map(
+            lambda t: jax.lax.psum(t, axis) * coef, g_l)
+        return (loss, g, aux) if has_aux else (loss, g)
+
+    spec = P(axis)
+    out_specs = (P(), P(), P()) if has_aux else (P(), P())
+    fn = jax.jit(
+        jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P(), spec, spec, spec, spec),
+            out_specs=out_specs,
+            check_vma=False,  # Pallas morton path runs replicated inside
+        )
+    )
+    sharding = NamedSharding(mesh, spec)
+    return fn(params, *(jax.device_put(a, sharding) for a in inputs))
+
+
 def sharded_loss_and_grad(model, variables, pos, vel, mass, y, mesh: Mesh,
                           axis: str = "particles"):
     """Particle-sharded training-step core: the reference's scaled-RMSE
@@ -400,39 +416,41 @@ def sharded_loss_and_grad(model, variables, pos, vel, mass, y, mesh: Mesh,
                                     shard)
         return jnp.sum((scale * (pred_l - y_l)) ** 2)
 
-    def step(p, pos_l, vel_l, mass_l, y_l):
-        # Differentiate the LOCAL sum of squares only — no psum inside the
-        # AD path (psum transposes to psum under shard_map, which would
-        # scale every cotangent by n_dev). The all_gathers inside the
-        # forward transpose to reduce-scatters as usual. Then reduce the
-        # partials and apply the sqrt chain rule explicitly:
-        #   L = sqrt(S / (3n)),  dL/dp = psum(dS_local/dp) / (2 * 3n * L)
-        sse_l, g_l = jax.value_and_grad(local_sse)(
-            p, pos_l, vel_l, mass_l, y_l)
-        total = jax.lax.psum(sse_l, axis)
-        loss = jnp.sqrt(total / (n * 3))
-        coef = 0.5 / jnp.maximum(loss * (n * 3), 1e-30)
-        g = jax.tree_util.tree_map(
-            lambda t: jax.lax.psum(t, axis) * coef, g_l)
-        return loss, g
+    return _sharded_rmse_step(local_sse, params, (pos, vel, mass, y), n,
+                              mesh, axis)
 
-    spec = P(axis)
-    fn = jax.jit(
-        jax.shard_map(
-            step, mesh=mesh,
-            in_specs=(P(), spec, spec, spec, spec),
-            out_specs=(P(), P()),
-            check_vma=False,  # Pallas morton path runs replicated inside
-        )
-    )
-    sharding = NamedSharding(mesh, spec)
-    return fn(
-        params,
-        jax.device_put(pos, sharding),
-        jax.device_put(vel, sharding),
-        jax.device_put(mass, sharding),
-        jax.device_put(y, sharding),
-    )
+
+def sharded_contconv_loss_and_grad(model, variables, pos, vel, mass, y,
+                                   mesh: Mesh, axis: str = "particles"):
+    """The ContConv twin of :func:`sharded_loss_and_grad` (VERDICT r3 #4):
+    scaled-RMSE loss + parameter gradients through the particle-sharded
+    ContinuousConvModel forward in TRAIN mode — encoder BatchNorm batch
+    statistics are computed on the replicated full node array (identical to
+    the single-device statistics over the same batch) and the updated
+    running stats are returned so a training loop can carry them.
+
+    With ``model.conv_impl`` in ("pallas", "pallas_interpret") the fused
+    collect kernel runs inside the shard_map; its custom VJP gives exact
+    parameter gradients (ops/contconv_kernel.py), so this is the path to
+    ContConv training at N where one chip's activations don't fit.
+
+    :return: (loss, grads, new_batch_stats) — all replicated.
+    """
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    assert n % n_dev == 0, f"N={n} must divide the {axis!r} axis ({n_dev})"
+    shard = n // n_dev
+    scale = jnp.float32(model.scale_factor)
+
+    def local_sse(p, pos_l, vel_l, mass_l, y_l):
+        pred_l, new_bs = _contconv_forward_local(
+            model, p, bstats, pos_l, vel_l, mass_l, axis, shard, train=True)
+        return jnp.sum((scale * (pred_l - y_l)) ** 2), new_bs
+
+    return _sharded_rmse_step(local_sse, params, (pos, vel, mass, y), n,
+                              mesh, axis, has_aux=True)
 
 
 def sharded_contconv_rollout(model, variables, pos0, vel0, mass, steps: int,

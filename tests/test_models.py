@@ -351,3 +351,42 @@ def test_contconv_kernel_param_grads_match_xla(d, ci, co):
     # feat grad (stands in for every upstream parameter path)
     np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("d,agg", [(4, "mean"), (3, "sum")])
+def test_contconv_kernel_position_grads_match_xla(d, agg):
+    """The fused collect kernel's geometry VJP (VERDICT r3 #5): gradients
+    w.r.t. PARTICLE POSITIONS — flowing through the poly6 window, the
+    ball-to-cube map and the trilinear grid coords into the kernel's
+    gx/gy/gz/window cotangents — match the XLA layer. (They used to be
+    silent zeros; a differentiable-rollout user of conv_impl='pallas'
+    would have gotten wrong gradients with no error.)"""
+    b, n, k, ci, co, radius = 2, 70, 6, 5, 4, 1.2
+    rng = np.random.default_rng(29)
+    pos = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(b, n, ci)).astype(np.float32))
+    idx, valid = batched_radius_neighbors(pos, radius, k_max=k,
+                                          include_self=True)
+    cot = jnp.asarray(rng.normal(size=(b, n, co)).astype(np.float32))
+
+    kw = dict(in_channels=ci, out_channels=co, filter_resolution=d,
+              radius=radius, agg=agg)
+    ref = ContinuousConv(**kw)
+    fused = ContinuousConv(**kw, impl="pallas_interpret")
+    params = ref.init(jax.random.PRNGKey(11), pos, feat, idx, valid)
+
+    def loss(layer, q):
+        # neighbor lists held fixed (they are piecewise constant in q);
+        # the differentiable geometry is the window + grid coords
+        out = layer.apply(params, q, feat, idx, valid)
+        return jnp.sum(out * cot)
+
+    g_ref = jax.grad(lambda q: loss(ref, q))(pos)
+    g_fused = jax.grad(lambda q: loss(fused, q))(pos)
+    # self-loop edges are r = 0: a plain-norm ball_to_cube would NaN both
+    # paths here and assert_allclose(equal_nan=True) would hide it
+    assert np.isfinite(np.asarray(g_ref)).all()
+    assert np.isfinite(np.asarray(g_fused)).all()
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-4, atol=1e-5 * scale)
