@@ -34,7 +34,7 @@ class SimulationConfig:
     dt: float = 0.01
     integrator: str = "leapfrog"  # "leapfrog" | "euler"  (simulation.py:153-187)
     calc_energy: bool = True
-    force_backend: str = "auto"  # "dense" | "pallas" | "bh" | "bh2" | "auto"
+    force_backend: str = "auto"  # "dense"|"pallas"|"bh"|"bh2"|"bh3"|"auto"
     # "bh" knobs (ops/treeforce.py): exact near-set size, Morton block rows,
     # and how often the partition (sort + near sets) is rebuilt — forces are
     # always computed from fresh positions, a stale partition only degrades
@@ -48,12 +48,19 @@ class SimulationConfig:
     # receiver group. Drops the O(N * nb) far term by ~bh_coarse at 1M+.
     bh_coarse: int = 16
     bh_rc: int = 32
+    # "bh3" sub-refines the near pass (ops/treeforce.py Verlet-list engine):
+    # each near block's rows split into sub-blocks of bh_sub_block rows;
+    # bh_n_sub of them are evaluated exactly per receiver block, the rest
+    # through their own quadrupoles. Cuts the dominant M*B near pairs to
+    # K*Bs at the same error knob.
+    bh_sub_block: int = 32
+    bh_n_sub: int = 24
 
     def __post_init__(self):
         if self.integrator not in INTEGRATORS:
             raise ValueError(f"unknown integrator {self.integrator!r}")
         if self.force_backend not in ("dense", "pallas", "bh", "bh2",
-                                      "auto"):
+                                      "bh3", "auto"):
             raise ValueError(f"unknown force backend {self.force_backend!r}")
 
 
@@ -93,9 +100,18 @@ def make_acc_fn(
         return lambda pos: pallas_accelerations(
             pos, mass, config.g_const, config.softening, mask=mask
         )
-    if backend in ("bh", "bh2"):
+    if backend in ("bh", "bh2", "bh3"):
         if mask is not None:
             raise ValueError(f"force_backend={backend!r} does not support masks")
+        if backend == "bh3":
+            from nbody_tpu.ops.treeforce import bh3_accelerations
+
+            return lambda pos: bh3_accelerations(
+                pos, mass, config.g_const, config.softening,
+                n_near=config.bh_near, block=config.bh_block,
+                coarse=config.bh_coarse, rc=config.bh_rc,
+                sub_block=config.bh_sub_block, n_sub=config.bh_n_sub,
+            )
         if backend == "bh2":
             from nbody_tpu.ops.treeforce import bh2_accelerations
 
@@ -128,7 +144,7 @@ def make_energy_fn(mass, config: SimulationConfig, mask=None, n=None):
     exact — the "bh" force backend has no approximate-energy counterpart, so
     it maps to the exact kernel of its platform."""
     backend = _resolve_backend(config, n if n is not None else mass.shape[-1])
-    if backend in ("bh", "bh2"):
+    if backend in ("bh", "bh2", "bh3"):
         backend = "pallas" if jax.default_backend() == "tpu" else "dense"
     if backend == "pallas":
         from nbody_tpu.ops.pairwise import pallas_potential_energy
@@ -183,9 +199,19 @@ def simulate(
         return (p, v, a, u, k)
 
     backend = _resolve_backend(config, pos.shape[0])
-    if backend in ("bh", "bh2") and config.bh_refresh > 1:
+    if backend in ("bh", "bh2", "bh3") and config.bh_refresh > 1:
         # carry the Morton partition; rebuild it every bh_refresh steps
-        if backend == "bh2":
+        if backend == "bh3":
+            from nbody_tpu.ops.treeforce import (
+                bh3_accelerations as _bh_acc,
+                build_bh3_partition)
+
+            def build(p):
+                return build_bh3_partition(
+                    p, mass, n_near=config.bh_near, block=config.bh_block,
+                    coarse=config.bh_coarse, rc=config.bh_rc,
+                    sub_block=config.bh_sub_block, n_sub=config.bh_n_sub)
+        elif backend == "bh2":
             from nbody_tpu.ops.treeforce import (
                 bh2_accelerations as _bh_acc,
                 build_bh2_partition)

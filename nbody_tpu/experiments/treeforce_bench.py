@@ -53,13 +53,20 @@ def main(argv=None):
     p.add_argument("--n-near", type=int, default=32)
     p.add_argument("--block", type=int, default=256)
     p.add_argument("--i-chunk", type=int, default=8)
-    p.add_argument("--engine", default="bh", choices=["bh", "bh2"],
+    p.add_argument("--engine", default="bh", choices=["bh", "bh2", "bh3"],
                    help="bh2 = two-level coarse far field "
-                        "(O(N*(M*B + N/(C*B) + rc*C)) — the 1M+ engine)")
+                        "(O(N*(M*B + N/(C*B) + rc*C)) — the 1M+ engine); "
+                        "bh3 = bh2 with the sub-refined (Verlet-list) near "
+                        "pass: K*Bs exact pairs instead of M*B")
     p.add_argument("--coarse", type=int, default=16,
-                   help="bh2: fine blocks per superblock")
+                   help="bh2/bh3: fine blocks per superblock")
     p.add_argument("--rc", type=int, default=32,
-                   help="bh2: refined superblocks per receiver group")
+                   help="bh2/bh3: refined superblocks per receiver group")
+    p.add_argument("--sub-block", type=int, default=32,
+                   help="bh3: rows per near-pass sub-block")
+    p.add_argument("--n-sub", type=int, default=24,
+                   help="bh3: sub-blocks evaluated exactly per receiver "
+                        "block")
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--exact-cap", type=int, default=100_000,
                    help="skip the exact timing above this N")
@@ -88,7 +95,35 @@ def main(argv=None):
                 args.reps)
             row["exact_ms"] = el * 1e3
 
-        if args.engine == "bh2":
+        if args.engine == "bh3":
+            from nbody_tpu.ops.treeforce import (bh3_accelerations,
+                                                 build_bh3_partition)
+
+            row.update(coarse=args.coarse, rc=args.rc,
+                       sub_block=args.sub_block, n_sub=args.n_sub)
+
+            def fresh(p_):
+                return bh3_accelerations(
+                    p_, mass, G, EPS, n_near=args.n_near, block=args.block,
+                    coarse=args.coarse, rc=args.rc,
+                    sub_block=args.sub_block, n_sub=args.n_sub,
+                    i_chunk=args.i_chunk)
+
+            part = build_bh3_partition(
+                pos, mass, n_near=args.n_near, block=args.block,
+                coarse=args.coarse, rc=args.rc, sub_block=args.sub_block,
+                n_sub=args.n_sub)
+
+            def reused(p_):
+                return bh3_accelerations(
+                    p_, mass, G, EPS, partition=part, i_chunk=args.i_chunk)
+
+            def build(p_):
+                return build_bh3_partition(
+                    p_, mass, n_near=args.n_near, block=args.block,
+                    coarse=args.coarse, rc=args.rc,
+                    sub_block=args.sub_block, n_sub=args.n_sub).near
+        elif args.engine == "bh2":
             row.update(coarse=args.coarse, rc=args.rc)
 
             def fresh(p_):

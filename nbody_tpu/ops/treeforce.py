@@ -667,25 +667,13 @@ def _grouped_mult(qg, blkTg, sel, g, eps2, use_pallas, interpret):
     )(qg, com, msum, quad)
 
 
-@partial(jax.jit,
-         static_argnames=("n_near", "block", "coarse", "rc", "w"))
-def build_bh2_partition(
-    pos: jax.Array,
-    mass: jax.Array,
-    n_near: int = 16,
-    block: int = 256,
-    coarse: int = 16,
-    rc: int = 32,
-    w: int = 1,
-) -> BH2Partition:
-    """Two-level partition: fine Morton blocks (padded to a multiple of
-    ``coarse``), per-group refined superblock sets by the coarse opening
-    criterion (+- ``w`` curve window forced), and fine near sets restricted
-    to refined regions so the two-level far field telescopes exactly.
-
-    Empty (all-pad) fine blocks and superblocks are masked out of both
-    selections — their COM sits at the origin, which is typically mid-scene
-    and would otherwise soak up selection slots."""
+def _bh2_partition_arrays(pos, mass, n_near, block, coarse, rc, w):
+    """Shared core of :func:`build_bh2_partition` and
+    :func:`build_bh3_partition`: the Morton sort, the refined-superblock
+    selection, and the (refined-restricted) fine near selection. Returns
+    ``(sg_p, near, inv_rank, refined, spos, sm)`` — the last two are the
+    sorted/padded position+mass arrays the bh3 builder reuses for its
+    sub-block selection."""
     assert coarse >= _ADJ and w >= 1, \
         "structural fine window must stay inside the forced coarse window"
     n = pos.shape[0]
@@ -767,6 +755,30 @@ def build_bh2_partition(
     sep2f = jnp.where(adjf, -1.0, sep2f)
     near, _ = _select_k(sep2f, n_near)
 
+    return sg_p, near, inv_rank, refined, spos, sm
+
+
+@partial(jax.jit,
+         static_argnames=("n_near", "block", "coarse", "rc", "w"))
+def build_bh2_partition(
+    pos: jax.Array,
+    mass: jax.Array,
+    n_near: int = 16,
+    block: int = 256,
+    coarse: int = 16,
+    rc: int = 32,
+    w: int = 1,
+) -> BH2Partition:
+    """Two-level partition: fine Morton blocks (padded to a multiple of
+    ``coarse``), per-group refined superblock sets by the coarse opening
+    criterion (+- ``w`` curve window forced), and fine near sets restricted
+    to refined regions so the two-level far field telescopes exactly.
+
+    Empty (all-pad) fine blocks and superblocks are masked out of both
+    selections — their COM sits at the origin, which is typically mid-scene
+    and would otherwise soak up selection slots."""
+    sg_p, near, inv_rank, refined, _, _ = _bh2_partition_arrays(
+        pos, mass, n_near, block, coarse, rc, w)
     return BH2Partition(sorted_gid=sg_p, near=near, inv_rank=inv_rank,
                         refined=refined)
 
@@ -892,5 +904,339 @@ def bh2_accelerations(
     acc = bh2_sorted_range_acc(
         spos, sm, partition.near, partition.refined, g_const, softening,
         jnp.int32(0), nb, i_chunk=i_chunk, near_impl=near_impl,
+    )
+    return _unsort_acc(acc, partition.sorted_gid, n)
+
+
+# ---------------------------------------------------------------------------
+# Three-level ("sub-refined") near pass — the Verlet-list engine.
+#
+# At 1M+ the measured cost ceiling of bh2 is the NEAR pass: every receiver
+# evaluates M*B exact pairs (4096 at the adopted B=128/M=32) because the
+# near/far split is quantised to whole Morton blocks — block-size reduction
+# is exhausted (B=64 measured slower: fine-far multipole evals double and
+# the partition build 2.4x; ROUND3_NOTES "Round-4 design note").
+#
+# Here the near set keeps its block granularity (so the far field and the
+# fine-refinement bracket are untouched), but the near evaluation telescopes
+# one level further: each near block's B rows are split into S = B/Bs
+# contiguous Morton SUB-blocks of Bs rows, each with its own
+# monopole+quadrupole moments, and each receiver block statically selects
+# the K worst-separated sub-blocks (by the same opening criterion, with the
+# receiver's +-1 curve-block window forced) for exact evaluation:
+#
+#   near_terms = exact(K selected sub-blocks)          (K*Bs true pairs)
+#              + sub_mult(the M*S - K unselected)       (32-row quadrupoles)
+#              - fine_mult(near blocks)                  (unchanged subtract)
+#
+# which equals the exact three-level telescope
+#   [sub_mult(ALL near subs) - fine_mult(near)] + [exact(sel) - sub_mult(sel)]
+# with the selected sub-multipoles cancelled algebraically instead of at
+# rounding level. Unselected sub-blocks — the far corners of near blocks —
+# are represented by their own (4x smaller) quadrupole instead of exactly;
+# their residual is the same (rad/d)^3 tier as the just-outside-near-set
+# blocks' fine-multipole error, so K tunes cost against the SAME error knob
+# the block engine already has.
+#
+# Cost per particle: K*Bs exact pairs + (M*S - K) sub-mult evals, vs M*B
+# exact pairs — ~3-4x less near work at the adopted 1M config
+# (K=20, Bs=32: 640 pairs + 108 evals vs 4096 pairs). This is the "hybrid
+# per-particle *block* list" variant of the round-3 Verlet design note:
+# selection is per receiver block, so candidate gathers stay at block
+# granularity (the per-particle (N, L) gather is row-count-bound on TPU).
+# Staleness is handled exactly like bh/bh2: selection is part of the
+# partition, refreshed every bh_refresh steps, forces always use fresh
+# positions (the Verlet-skin condition maps to K's selection margin).
+# ---------------------------------------------------------------------------
+
+
+class BH3Partition(NamedTuple):
+    """Two-level Morton partition plus the per-receiver-block sub-block
+    split of the near evaluation.
+
+    :param sub_near: (nb, K) int32 — global sub-block ids (sub id =
+        fine_block_id * S + s) evaluated EXACTLY for this receiver block.
+    :param sub_far: (nb, M*S - K) int32 — the complement: near-set
+        sub-blocks represented by their own multipole moments.
+    The sub factor S is implied: S = (K + U) / M; Bs = B / S.
+    """
+
+    sorted_gid: jax.Array
+    near: jax.Array
+    inv_rank: jax.Array
+    refined: jax.Array
+    sub_near: jax.Array
+    sub_far: jax.Array
+
+    @property
+    def base(self) -> BHPartition:
+        return BHPartition(self.sorted_gid, self.near, self.inv_rank)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.near.shape[0]
+
+
+@partial(jax.jit,
+         static_argnames=("n_near", "block", "coarse", "rc", "sub_block",
+                          "n_sub", "w"))
+def build_bh3_partition(
+    pos: jax.Array,
+    mass: jax.Array,
+    n_near: int = 16,
+    block: int = 256,
+    coarse: int = 16,
+    rc: int = 32,
+    sub_block: int = 32,
+    n_sub: int = 24,
+    w: int = 1,
+) -> BH3Partition:
+    """:func:`build_bh2_partition` plus the sub-block exact/multipole split
+    of each receiver block's near candidates (see the section comment).
+
+    :param sub_block: rows per near-evaluation sub-block (divides ``block``).
+    :param n_sub: sub-blocks evaluated exactly per receiver block; clamped
+        to [3*S, M*S] — the receiver's own +-1 curve-block window (3*S subs)
+        is always forced exact, because a receiver INSIDE a sub-block would
+        otherwise see that sub-block's multipole evaluated at an interior
+        point, where the expansion diverges.
+    """
+    if block % sub_block:
+        raise ValueError(
+            f"sub_block={sub_block} must divide block={block}")
+    s = block // sub_block
+    sg_p, near, inv_rank, refined, spos, sm = _bh2_partition_arrays(
+        pos, mass, n_near, block, coarse, rc, w)
+    nb, m = near.shape
+    nbs = nb * s
+    n_sub = max(min(3 * s, m * s), min(n_sub, m * s))
+
+    from nbody_tpu.ops.spatial import _INF
+
+    # sub-block COM + bounding radius from the sorted arrays
+    sp = spos.reshape(nbs, sub_block, 3)
+    smm = sm.reshape(nbs, sub_block)
+    msum_s = jnp.sum(smm, axis=1)
+    com_s = jnp.sum(smm[..., None] * sp, axis=1) / jnp.maximum(
+        msum_s, 1e-30)[..., None]
+    ds = sp - com_s[:, None, :]
+    rad_s = jnp.sqrt(jnp.max(
+        jnp.where(smm > 0, jnp.sum(ds * ds, axis=-1), 0.0), axis=1))
+
+    # receiver fine-block COM + radius
+    bp = spos.reshape(nb, block, 3)
+    bm = sm.reshape(nb, block)
+    msum_b = jnp.sum(bm, axis=1)
+    com_b = jnp.sum(bm[..., None] * bp, axis=1) / jnp.maximum(
+        msum_b, 1e-30)[..., None]
+    db = bp - com_b[:, None, :]
+    rad_b = jnp.sqrt(jnp.max(
+        jnp.where(bm > 0, jnp.sum(db * db, axis=-1), 0.0), axis=1))
+
+    # candidates: every sub-block of every near block, in near-set order
+    cand = (near[:, :, None] * s
+            + jnp.arange(s, dtype=near.dtype)[None, None, :]
+            ).reshape(nb, m * s)
+    diff = com_b[:, None, :] - com_s[cand]  # (nb, M*S, 3)
+    d2 = jnp.sum(diff * diff, axis=-1)
+    sep2 = jnp.maximum(d2, 0.0) / jnp.maximum(
+        (rad_b[:, None] + rad_s[cand]) ** 2, 1e-30)
+    # empty (all-pad) sub-blocks never earn an exact slot (zero mass makes
+    # them inert either way — this just keeps the slots useful)
+    sep2 = jnp.where(msum_s[cand] > 0, sep2, _INF)
+    # force the receiver's +-1 curve-block window exact (self sub-blocks
+    # included): the opening criterion cannot rank sub-blocks the receiver
+    # sits inside, and Morton-jump stragglers live in curve neighbors
+    forced = jnp.abs(cand // s - jnp.arange(nb, dtype=cand.dtype)[:, None]
+                     ) <= 1
+    sep2 = jnp.where(forced, -1.0, sep2)
+    # one row sort splits exact (first K) from multipole (the rest)
+    _, order = jax.lax.sort((sep2, cand), num_keys=1)
+    return BH3Partition(
+        sorted_gid=sg_p, near=near, inv_rank=inv_rank, refined=refined,
+        sub_near=order[:, :n_sub], sub_far=order[:, n_sub:])
+
+
+def _near_chunk_sub(q_flat, selc, farc, nearc, sub_pos, sub_m, blkT_s,
+                    blkT_f, g, eps2, use_pallas, interpret):
+    """``exact(selected subs) + sub_mult(unselected subs) - fine_mult(near)``
+    for one receiver chunk — the sub-refined twin of :func:`_near_chunk`.
+
+    :param q_flat: (i_chunk*B, 3) receiver rows.
+    :param selc: (i_chunk, K) exact sub ids; :param farc: (i_chunk, U)
+        multipole sub ids; :param nearc: (i_chunk, M) near block ids.
+    :param sub_pos/sub_m: (nbs, Bs, 3)/(nbs, Bs) sorted rows by sub-block.
+    :param blkT_s: (10, nbs) sub-block moments; :param blkT_f: (10, nb)
+        fine-block moments (rows as in :func:`_blkT`).
+    :return: (i_chunk*B, 3).
+    """
+    i_chunk, k_sel = selc.shape
+    bs = sub_pos.shape[1]
+    c = sub_pos[selc].reshape(i_chunk, k_sel * bs, 3)
+    w_m = sub_m[selc].reshape(i_chunk, k_sel * bs)
+    q = q_flat.reshape(i_chunk, -1, 3)
+    if use_pallas:
+        from nbody_tpu.ops.pairwise import pallas_partial_accelerations
+
+        a_exact = jax.vmap(
+            lambda qb, cb, mb: pallas_partial_accelerations(
+                qb, cb, mb, g, jnp.sqrt(eps2), interpret=interpret,
+            )
+        )(q, c, w_m)
+    else:
+        d2 = (
+            jnp.sum(q * q, axis=-1)[..., None]
+            + jnp.sum(c * c, axis=-1)[:, None, :]
+            - 2.0 * jnp.einsum("ibd,icd->ibc", q, c, precision=_HI)
+        )
+        inv = jax.lax.rsqrt(
+            jnp.maximum(jnp.maximum(d2, 0.0) + eps2, _D2_FLOOR))
+        w = w_m[:, None, :] * (inv * inv * inv)
+        a_exact = g * (
+            jnp.einsum("ibc,icd->ibd", w, c, precision=_HI)
+            - q * jnp.sum(w, axis=-1, keepdims=True)
+        )
+    acc = a_exact - _grouped_mult(q, blkT_f, nearc, g, eps2, use_pallas,
+                                  interpret)
+    if farc.shape[1]:
+        acc = acc + _grouped_mult(q, blkT_s, farc, g, eps2, use_pallas,
+                                  interpret)
+    return acc.reshape(q_flat.shape[0], 3)
+
+
+@partial(jax.jit,
+         static_argnames=("nbl", "i_chunk", "near_impl"))
+def bh3_sorted_range_acc(
+    spos: jax.Array,
+    sm: jax.Array,
+    near: jax.Array,
+    refined: jax.Array,
+    sub_near: jax.Array,
+    sub_far: jax.Array,
+    g_const,
+    softening,
+    blk0,
+    nbl: int,
+    i_chunk: int = 8,
+    near_impl: str = "xla",
+) -> jax.Array:
+    """Sub-refined two-level accelerations for ``nbl`` receiver blocks
+    starting at traced fine-block index ``blk0`` — the far field of
+    :func:`bh2_sorted_range_acc` with the near pass replaced by the
+    sub-block exact/multipole split (see the section comment).
+
+    :return: (nbl*B, 3) accelerations of the receiver range in sorted order.
+    """
+    nb, m = near.shape
+    b = spos.shape[0] // nb
+    nbc, rc = refined.shape
+    coarse = nb // nbc
+    assert nb % nbc == 0 and nbl % coarse == 0
+    s = (sub_near.shape[1] + sub_far.shape[1]) // m
+    assert s * m == sub_near.shape[1] + sub_far.shape[1] and b % s == 0
+    bs = b // s
+    nbs = nb * s
+    gr = nbl // coarse
+    g = jnp.asarray(g_const, spos.dtype)
+    eps2 = jnp.asarray(softening, spos.dtype) ** 2
+    use_pallas = near_impl in ("pallas", "pallas_interpret")
+    interpret = near_impl == "pallas_interpret"
+
+    blk_pos, _, msum, com, quad = _block_moments(spos, sm, nb, b)
+    _, _, msum_c, com_c, quad_c = _block_moments(spos, sm, nbc, coarse * b)
+    sub_pos, sub_m, msum_s, com_s, quad_s = _block_moments(spos, sm, nbs, bs)
+
+    def rng(x, start, size):
+        return jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
+
+    q_blocks = rng(blk_pos, blk0, nbl)  # (nbl, B, 3)
+    near_r = rng(near, blk0, nbl)
+    sel_r = rng(sub_near, blk0, nbl)
+    far_r = rng(sub_far, blk0, nbl)
+    refined_r = rng(refined, blk0 // coarse, gr)  # (gr, rc)
+
+    rows = q_blocks.reshape(nbl * b, 3)
+    qg = rows.reshape(gr, coarse * b, 3)
+
+    # far level 1 + telescoped level-2 refinement: identical to bh2
+    if use_pallas:
+        far = pallas_multipole_acc(rows, com_c, msum_c, quad_c, g, eps2,
+                                   interpret=interpret)
+    else:
+        far = _multipole_acc(rows, com_c, msum_c, quad_c, g, eps2)
+    blkT_f = _blkT(com, msum, quad)  # (10, nb)
+    blkT_c = _blkT(com_c, msum_c, quad_c)  # (10, nbc)
+    blkT_s = _blkT(com_s, msum_s, quad_s)  # (10, nbs)
+    fine_ids = (refined_r[:, :, None] * coarse
+                + jnp.arange(coarse)[None, None, :]).reshape(gr, rc * coarse)
+    far_g = (
+        _grouped_mult(qg, blkT_f, fine_ids, g, eps2, use_pallas, interpret)
+        - _grouped_mult(qg, blkT_c, refined_r, g, eps2, use_pallas,
+                        interpret)
+    )
+    far = far + far_g.reshape(nbl * b, 3)
+
+    # near pass: sub-refined exact/multipole split
+    nc = -(-nbl // i_chunk)
+    pad = nc * i_chunk - nbl
+
+    def pad0(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    q_c = pad0(q_blocks).reshape(nc, i_chunk * b, 3)
+    near_c = pad0(near_r).reshape(nc, i_chunk, m)
+    sel_c = pad0(sel_r).reshape(nc, i_chunk, sel_r.shape[1])
+    far_c = pad0(far_r).reshape(nc, i_chunk, far_r.shape[1])
+
+    near_rows = jax.lax.map(
+        lambda args: _near_chunk_sub(
+            args[0], args[1], args[2], args[3], sub_pos, sub_m, blkT_s,
+            blkT_f, g, eps2, use_pallas, interpret),
+        (q_c, sel_c, far_c, near_c),
+    ).reshape(nc * i_chunk * b, 3)[: nbl * b]
+    return far + near_rows
+
+
+@partial(jax.jit, static_argnames=("n_near", "block", "coarse", "rc",
+                                   "sub_block", "n_sub", "i_chunk",
+                                   "near_impl"))
+def bh3_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    g_const: float,
+    softening: float,
+    partition: Optional[BH3Partition] = None,
+    n_near: int = 16,
+    block: int = 256,
+    coarse: int = 16,
+    rc: int = 32,
+    sub_block: int = 32,
+    n_sub: int = 24,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+) -> jax.Array:
+    """Sub-refined two-level block-multipole accelerations,
+    O(N*(K*Bs + M*S + N/(C*B) + rc*C)) — :func:`bh2_accelerations` with the
+    near pass's M*B exact pairs cut to K*Bs true-nearest sub-block pairs
+    plus (M*S - K) sub-quadrupole evaluations. Raising ``n_sub`` tightens
+    the near error monotonically; at n_sub = M*S the near pass IS bh2's.
+
+    :param partition: reusable (possibly stale) :class:`BH3Partition` —
+        sub_block/n_sub are implied by its array shapes when provided.
+    """
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    n = pos.shape[0]
+    if partition is None:
+        partition = build_bh3_partition(
+            pos, mass, n_near=n_near, block=block, coarse=coarse, rc=rc,
+            sub_block=sub_block, n_sub=n_sub)
+    nb = partition.near.shape[0]
+
+    spos, sm = _gather_sorted(pos, mass, partition.base)
+    acc = bh3_sorted_range_acc(
+        spos, sm, partition.near, partition.refined, partition.sub_near,
+        partition.sub_far, g_const, softening, jnp.int32(0), nb,
+        i_chunk=i_chunk, near_impl=near_impl,
     )
     return _unsort_acc(acc, partition.sorted_gid, n)

@@ -282,3 +282,153 @@ def test_simulate_bh2_backend_tracks_exact():
 
     e = np.asarray(t_bh.u_energy) + np.asarray(t_bh.k_energy)
     assert np.abs(e - e[0]).max() < 1e-3 * abs(e[0])
+
+
+# --- sub-refined (Verlet-list) near pass ------------------------------------
+
+
+def test_bh3_full_selection_matches_bh2():
+    """n_sub = M*S selects every near sub-block for exact evaluation: the
+    near pass evaluates the same rows as bh2's (the sub-mult bracket is
+    empty), so the engines agree up to f32 summation-order rounding — the
+    selection sort visits candidates in priority order, not near-set
+    order, and the exact-minus-multipole near field amplifies the
+    reordering residue relative to the (partially cancelled) total."""
+    from nbody_tpu.ops.treeforce import bh2_accelerations, bh3_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(20), 6000)
+    a2 = bh2_accelerations(pos, mass, G, EPS, n_near=16, block=128,
+                           coarse=4, rc=8)
+    a3 = bh3_accelerations(pos, mass, G, EPS, n_near=16, block=128,
+                           coarse=4, rc=8, sub_block=32, n_sub=16 * 4)
+    num = jnp.linalg.norm(a3 - a2, axis=-1)
+    den = jnp.linalg.norm(a2, axis=-1) + 1e-30
+    assert float(jnp.median(num / den)) < 5e-4  # measured 4.8e-5
+    assert float(jnp.mean(num / den)) < 5e-3
+
+
+def test_bh3_error_decreases_with_n_sub():
+    from nbody_tpu.ops.treeforce import bh3_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(21), 6000)
+    exact = pairwise_accelerations(pos, mass, G, EPS)
+    errs = []
+    for n_sub in (16, 24, 48):
+        a = bh3_accelerations(pos, mass, G, EPS, n_near=16, block=128,
+                              coarse=4, rc=8, sub_block=32, n_sub=n_sub)
+        errs.append(_rel_err(a, exact)[1])
+    assert errs[0] > errs[1] > errs[2], errs
+
+
+def test_bh3_close_to_exact_on_galaxies():
+    """At a production-shaped selection (K*Bs = 768 exact pairs vs bh2's
+    M*B = 2048) the error stays in the bh2 tier on both profiles."""
+    from nbody_tpu.ops.treeforce import bh2_accelerations, bh3_accelerations
+
+    for gen, key in ((generate_spiral, 22), (generate_disk, 23)):
+        pos, _, mass = gen(jax.random.PRNGKey(key), 8000)
+        exact = pairwise_accelerations(pos, mass, G, EPS)
+        a2 = bh2_accelerations(pos, mass, G, EPS, n_near=16, block=128,
+                               coarse=4, rc=8)
+        a3 = bh3_accelerations(pos, mass, G, EPS, n_near=16, block=128,
+                               coarse=4, rc=8, sub_block=32, n_sub=24)
+        med2, mean2 = _rel_err(a2, exact)
+        med3, mean3 = _rel_err(a3, exact)
+        assert med3 < 3 * med2 + 1e-3, (gen.__name__, med2, med3)
+        assert mean3 < 3 * mean2 + 1e-2, (gen.__name__, mean2, mean3)
+
+
+def test_bh3_partition_invariants():
+    """sub_near/sub_far partition the near sets' sub-blocks exactly; the
+    receiver's own sub-blocks (and its +-1 curve-block window, when in the
+    near set) are always selected exact."""
+    from nbody_tpu.ops.treeforce import build_bh3_partition
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(24), 5000)
+    part = build_bh3_partition(pos, mass, n_near=8, block=128, coarse=4,
+                               rc=6, sub_block=32, n_sub=16)
+    near = np.asarray(part.near)
+    sel = np.asarray(part.sub_near)
+    far = np.asarray(part.sub_far)
+    nb, m = near.shape
+    s = (sel.shape[1] + far.shape[1]) // m
+    assert s == 128 // 32
+    for i in range(nb):
+        cand = {j * s + k for j in near[i] for k in range(s)}
+        both = sel[i].tolist() + far[i].tolist()
+        assert sorted(both) == sorted(cand), i  # exact partition, no dups
+        own = {i * s + k for k in range(s)}
+        assert own <= set(sel[i].tolist()), i  # self subs always exact
+    # sub ids point into near parents only
+    assert set((sel // s).flatten()) <= set(near.flatten())
+
+
+def test_bh3_stale_partition_and_jit_grad():
+    from nbody_tpu.ops.treeforce import bh3_accelerations, build_bh3_partition
+
+    key = jax.random.PRNGKey(25)
+    pos, vel, mass = generate_spiral(key, 4000)
+    part = build_bh3_partition(pos, mass, n_near=8, block=128, coarse=4,
+                               rc=6, sub_block=32, n_sub=16)
+    drifted = pos + vel * 1e-2
+    exact = pairwise_accelerations(drifted, mass, G, EPS)
+    approx = bh3_accelerations(drifted, mass, G, EPS, partition=part)
+    med, _ = _rel_err(approx, exact)
+    # looser than bh2's stale test: n_sub=16 of 32 adds sub-mult near error
+    assert med < 9e-2, med
+
+    @jax.jit
+    def f(p):
+        return jnp.sum(
+            bh3_accelerations(p, mass, G, EPS, n_near=8, block=128,
+                              coarse=4, rc=6, sub_block=32, n_sub=16) ** 2)
+
+    assert np.isfinite(float(f(pos)))
+    g = jax.jit(jax.grad(f))(pos)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_bh3_pallas_interpret_matches_xla():
+    from nbody_tpu.ops.treeforce import bh3_accelerations, build_bh3_partition
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(26), 2048)
+    part = build_bh3_partition(pos, mass, n_near=8, block=128, coarse=4,
+                               rc=4, sub_block=32, n_sub=16)
+    a_x = bh3_accelerations(pos, mass, G, EPS, partition=part, i_chunk=2,
+                            near_impl="xla")
+    a_p = bh3_accelerations(pos, mass, G, EPS, partition=part, i_chunk=2,
+                            near_impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               rtol=2e-3, atol=2e-8)
+
+
+def test_bh3_finite_at_zero_softening():
+    from nbody_tpu.ops.treeforce import bh3_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(27), 2048)
+    a0 = bh3_accelerations(pos, mass, G, 0.0, n_near=8, block=128,
+                           coarse=4, rc=4, sub_block=32, n_sub=16)
+    assert bool(jnp.isfinite(a0).all())
+
+
+def test_simulate_bh3_backend_tracks_exact():
+    from nbody_tpu.core.simulate import SimulationConfig, simulate
+
+    pos, vel, mass = generate_disk(jax.random.PRNGKey(28), 3000)
+    base = dict(g_const=G, softening=EPS, dt=1e-4, integrator="leapfrog",
+                calc_energy=True)
+    t_ex = simulate(pos, vel, mass, 50,
+                    SimulationConfig(force_backend="dense", **base))
+    t_bh = simulate(pos, vel, mass, 50,
+                    SimulationConfig(force_backend="bh3", bh_near=8,
+                                     bh_block=64, bh_coarse=4, bh_rc=6,
+                                     bh_sub_block=16, bh_n_sub=16,
+                                     bh_refresh=8, **base))
+    d = np.linalg.norm(
+        np.asarray(t_bh.positions[-1]) - np.asarray(t_ex.positions[-1]),
+        axis=-1)
+    scale = float(np.linalg.norm(np.asarray(t_ex.positions[-1]), axis=-1).mean())
+    assert 0 < np.max(d) / scale < 1e-4, np.max(d) / scale
+
+    e = np.asarray(t_bh.u_energy) + np.asarray(t_bh.k_energy)
+    assert np.abs(e - e[0]).max() < 1e-3 * abs(e[0])
