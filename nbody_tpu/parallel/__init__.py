@@ -1,6 +1,7 @@
-from nbody_tpu.parallel.bh import (bh2_simulate, bh_simulate,
+from nbody_tpu.parallel.bh import (bh2_simulate, bh3_simulate, bh_simulate,
                                    sharded_bh_accelerations,
-                                   sharded_bh2_accelerations)
+                                   sharded_bh2_accelerations,
+                                   sharded_bh3_accelerations)
 from nbody_tpu.parallel.mesh import make_mesh, particle_sharding
 from nbody_tpu.parallel.ring import ring_accelerations, ring_simulate
 from nbody_tpu.parallel.surrogate import (
@@ -11,6 +12,7 @@ from nbody_tpu.parallel.surrogate import (
 
 __all__ = [
     "bh2_simulate",
+    "bh3_simulate",
     "bh_simulate",
     "make_mesh",
     "particle_sharding",
@@ -18,6 +20,7 @@ __all__ = [
     "ring_simulate",
     "sharded_bh_accelerations",
     "sharded_bh2_accelerations",
+    "sharded_bh3_accelerations",
     "sharded_contconv_predict",
     "sharded_predict",
     "sharded_rollout",

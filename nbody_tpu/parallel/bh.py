@@ -428,3 +428,217 @@ def bh_simulate(
     sharding = NamedSharding(mesh, P(axis))
     return fn(jax.device_put(pos, sharding), jax.device_put(vel, sharding),
               jax.device_put(mass, sharding))
+
+
+def _force3_local(pall, mall, part, axis, n, nb, nbc, block, coarse, nbcp,
+                  n_dev, shard, g_const, softening, i_chunk, near_impl):
+    """Per-device sub-refined two-level BH force — the bh3 twin of
+    :func:`_force2_local` (same coarse-group-aligned receiver ranges; the
+    near pass runs the sub-block exact/multipole split of
+    :func:`ops.treeforce.bh3_sorted_range_acc`)."""
+    from nbody_tpu.ops.treeforce import bh3_sorted_range_acc
+
+    spos, sm = _gather_sorted(pall, mall, part.base)
+    cpad = nbcp * n_dev - nbc
+    bpad = cpad * coarse
+    spos_p = jnp.pad(spos, ((0, bpad * block), (0, 0)))
+    sm_p = jnp.pad(sm, (0, bpad * block))
+    near_p = jnp.pad(part.near, ((0, bpad), (0, 0)))
+    refined_p = jnp.pad(part.refined, ((0, cpad), (0, 0)))
+    sel_p = jnp.pad(part.sub_near, ((0, bpad), (0, 0)))
+    far_p = jnp.pad(part.sub_far, ((0, bpad), (0, 0)))
+
+    me = jax.lax.axis_index(axis)
+    nbl = nbcp * coarse
+    acc_rng = bh3_sorted_range_acc(
+        spos_p, sm_p, near_p, refined_p, sel_p, far_p, g_const, softening,
+        (me * nbl).astype(jnp.int32), nbl,
+        i_chunk=i_chunk, near_impl=near_impl,
+    )  # (nbl*B, 3) my receiver rows, sorted order
+
+    acc_sorted = jax.lax.all_gather(acc_rng, axis, tiled=True)
+    acc = _unsort_acc(acc_sorted[: nb * block], part.sorted_gid, n)
+    return jax.lax.dynamic_slice_in_dim(acc, me * shard, shard)
+
+
+@lru_cache(maxsize=64)
+def _sharded3_fn(mesh, axis, n, nb, nbc, block, coarse, rc, n_near,
+                 sub_block, n_sub, i_chunk, near_impl, g_const, softening,
+                 with_partition):
+    from nbody_tpu.ops.treeforce import BH3Partition, build_bh3_partition
+
+    n_dev = mesh.shape[axis]
+    nbcp = -(-nbc // n_dev)  # coarse groups per device
+    shard = n // n_dev
+
+    def fwd(pos_l, mass_l, part):
+        pall = jax.lax.all_gather(pos_l, axis, tiled=True)
+        mall = jax.lax.all_gather(mass_l, axis, tiled=True)
+        if part is None:
+            part = build_bh3_partition(
+                pall, mall, n_near=n_near, block=block, coarse=coarse,
+                rc=rc, sub_block=sub_block, n_sub=n_sub)
+        return _force3_local(
+            pall, mall, part, axis, n, nb, nbc, block, coarse, nbcp, n_dev,
+            shard, g_const, softening, i_chunk, near_impl)
+
+    spec = P(axis)
+    if not with_partition:
+        return jax.jit(jax.shard_map(
+            lambda p, m_: fwd(p, m_, None), mesh=mesh,
+            in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,  # partition/moments run replicated inside
+        ))
+    part_spec = BH3Partition(P(), P(), P(), P(), P(), P())  # replicated
+    return jax.jit(jax.shard_map(
+        fwd, mesh=mesh, in_specs=(spec, spec, part_spec), out_specs=spec,
+        check_vma=False,
+    ))
+
+
+def sharded_bh3_accelerations(
+    pos: jax.Array,
+    mass: jax.Array,
+    g_const: float,
+    softening: float,
+    mesh: Mesh,
+    axis: str = "particles",
+    partition=None,
+    n_near: int = 16,
+    block: int = 256,
+    coarse: int = 16,
+    rc: int = 32,
+    sub_block: int = 32,
+    n_sub: int = 24,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+) -> jax.Array:
+    """(N, 3) sub-refined two-level BH accelerations with receiver coarse
+    groups sharded over ``axis`` — the bh3 twin of
+    :func:`sharded_bh2_accelerations` (matches
+    :func:`ops.treeforce.bh3_accelerations`; a CPU-mesh test asserts
+    equality when the group count divides the axis)."""
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_dev}")
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if partition is not None:
+        nb = partition.n_blocks
+        block = partition.sorted_gid.shape[0] // nb
+        nbc = partition.refined.shape[0]
+        coarse = nb // nbc
+        # all selection knobs derive from the partition (differing dead
+        # caller values must not compile duplicate programs — ADVICE r3)
+        rc = partition.refined.shape[1]
+        n_near = partition.near.shape[1]
+        n_sub = partition.sub_near.shape[1]
+        s = (n_sub + partition.sub_far.shape[1]) // n_near
+        sub_block = block // s
+    else:
+        nb = -(-n // block)
+        nbc = -(-nb // coarse)
+
+    fn = _sharded3_fn(mesh, axis, n, nb, nbc, block, coarse, rc, n_near,
+                      sub_block, n_sub, i_chunk, near_impl, float(g_const),
+                      float(softening), partition is not None)
+    sharding = NamedSharding(mesh, P(axis))
+    pos = jax.device_put(pos, sharding)
+    mass = jax.device_put(mass, sharding)
+    if partition is None:
+        return fn(pos, mass)
+    return fn(pos, mass, partition)
+
+
+@lru_cache(maxsize=32)
+def _bh3_simulate_fn(mesh, axis, n, steps, block, coarse, rc, n_near,
+                     sub_block, n_sub, refresh, i_chunk, near_impl, g_const,
+                     softening, dt):
+    from nbody_tpu.ops.treeforce import build_bh3_partition
+
+    n_dev = mesh.shape[axis]
+    nb = -(-n // block)
+    nbc = -(-nb // coarse)
+    nbcp = -(-nbc // n_dev)
+    shard = n // n_dev
+    from nbody_tpu.core.integrators import leapfrog_step
+
+    def fwd(pos_l, vel_l, mass_l):
+        mall = jax.lax.all_gather(mass_l, axis, tiled=True)
+
+        def build(p_l):
+            pall = jax.lax.all_gather(p_l, axis, tiled=True)
+            return build_bh3_partition(
+                pall, mall, n_near=n_near, block=block, coarse=coarse,
+                rc=rc, sub_block=sub_block, n_sub=n_sub)
+
+        def force(p_l, part):
+            pall = jax.lax.all_gather(p_l, axis, tiled=True)
+            return _force3_local(
+                pall, mall, part, axis, n, nb, nbc, block, coarse, nbcp,
+                n_dev, shard, g_const, softening, i_chunk, near_impl)
+
+        def body(carry, i):
+            p_l, v_l, a_l, part = carry
+            # i > 0: part0 was built from these exact positions already
+            part = jax.lax.cond((i % refresh == 0) & (i > 0), build,
+                                lambda _: part, p_l)
+            p_l, v_l, a_l = leapfrog_step(
+                p_l, v_l, a_l, lambda q: force(q, part), jnp.float32(dt))
+            return (p_l, v_l, a_l, part), None
+
+        part0 = build(pos_l)
+        a0 = force(pos_l, part0)
+        (p_l, v_l, a_l, _), _ = jax.lax.scan(
+            body, (pos_l, vel_l, a0, part0), jnp.arange(steps))
+        return p_l, v_l, a_l
+
+    spec = P(axis)
+    return jax.jit(jax.shard_map(
+        fwd, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,  # partition/moments run replicated inside
+    ))
+
+
+def bh3_simulate(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    steps: int,
+    g_const: float,
+    softening: float,
+    dt: float,
+    mesh: Mesh,
+    axis: str = "particles",
+    n_near: int = 32,
+    block: int = 128,
+    coarse: int = 16,
+    rc: int = 32,
+    sub_block: int = 32,
+    n_sub: int = 24,
+    refresh: int = 8,
+    i_chunk: int = 8,
+    near_impl: str = "auto",
+):
+    """Multi-device sub-refined two-level BH leapfrog rollout — the bh3
+    twin of :func:`bh2_simulate` (the Verlet-list near pass inside one
+    scanned ``shard_map`` program, partition refreshed every ``refresh``
+    steps).
+
+    :return: final ``(pos, vel, acc)``, each (N, 3) sharded over ``axis``.
+    """
+    n = pos.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"N={n} not divisible by mesh axis {axis}={n_dev}")
+    if near_impl == "auto":
+        near_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    fn = _bh3_simulate_fn(mesh, axis, n, steps, block, coarse, rc, n_near,
+                          sub_block, n_sub, refresh, i_chunk, near_impl,
+                          float(g_const), float(softening), float(dt))
+    sharding = NamedSharding(mesh, P(axis))
+    return fn(jax.device_put(pos, sharding), jax.device_put(vel, sharding),
+              jax.device_put(mass, sharding))

@@ -143,3 +143,55 @@ def test_bh2_simulate_matches_single_device(mesh8):
                                rtol=1e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(v), np.asarray(ref.velocities[-1]),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_bh3_matches_single_device(mesh8):
+    """Sub-refined engine: coarse receiver groups sharded over 8 devices ==
+    the single-device bh3 path (no group padding => exact equality)."""
+    from nbody_tpu.ops.treeforce import bh3_accelerations
+    from nbody_tpu.parallel.bh import sharded_bh3_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(11), 2048)
+    kw = dict(n_near=6, block=64, coarse=4, rc=4, sub_block=16, n_sub=12,
+              near_impl="xla")
+    a1 = bh3_accelerations(pos, mass, G, EPS, **kw)
+    a8 = sharded_bh3_accelerations(pos, mass, G, EPS, mesh8, **kw)
+    np.testing.assert_array_equal(np.asarray(a8), np.asarray(a1))
+
+
+def test_sharded_bh3_reused_partition(mesh8):
+    """With a prebuilt partition every selection knob derives from its
+    shapes — caller values must neither matter nor recompile."""
+    from nbody_tpu.ops.treeforce import bh3_accelerations, build_bh3_partition
+    from nbody_tpu.parallel.bh import sharded_bh3_accelerations
+
+    pos, _, mass = generate_spiral(jax.random.PRNGKey(12), 2048)
+    part = build_bh3_partition(pos, mass, n_near=6, block=64, coarse=4,
+                               rc=4, sub_block=16, n_sub=12)
+    a1 = bh3_accelerations(pos, mass, G, EPS, partition=part,
+                           near_impl="xla")
+    a8 = sharded_bh3_accelerations(pos, mass, G, EPS, mesh8, partition=part,
+                                   rc=99, n_sub=99, near_impl="xla")
+    np.testing.assert_array_equal(np.asarray(a8), np.asarray(a1))
+
+
+def test_bh3_simulate_matches_single_device(mesh8):
+    """The scanned multi-device sub-refined rollout tracks simulate's
+    single-device bh3 path (same refresh schedule)."""
+    from nbody_tpu.core.simulate import SimulationConfig, simulate
+    from nbody_tpu.parallel.bh import bh3_simulate
+
+    pos, vel, mass = generate_spiral(jax.random.PRNGKey(13), 2048)
+    cfg = SimulationConfig(g_const=G, softening=EPS, dt=1e-4,
+                           integrator="leapfrog", calc_energy=False,
+                           force_backend="bh3", bh_near=8, bh_block=64,
+                           bh_coarse=4, bh_rc=4, bh_sub_block=16,
+                           bh_n_sub=16, bh_refresh=4)
+    ref = simulate(pos, vel, mass, 10, cfg)
+    p, v, a = bh3_simulate(pos, vel, mass, 10, G, EPS, 1e-4, mesh8,
+                           n_near=8, block=64, coarse=4, rc=4, sub_block=16,
+                           n_sub=16, refresh=4, near_impl="xla")
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref.positions[-1]),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref.velocities[-1]),
+                               rtol=1e-5, atol=1e-8)
