@@ -38,10 +38,17 @@ def main(argv=None):
                    help="fine Morton block size (128 is the measured 1M "
                         "bh2 recipe: halved near volume per particle)")
     p.add_argument("--bh-refresh", type=int, default=8)
-    p.add_argument("--engine", default="bh", choices=["bh", "bh2"],
-                   help="bh2 = two-level coarse far field (the 1M+ engine)")
+    p.add_argument("--engine", default="bh", choices=["bh", "bh2", "bh3"],
+                   help="bh2 = two-level coarse far field (the 1M+ "
+                        "engine); bh3 = bh2 with the sub-refined "
+                        "(Verlet-list) near pass")
     p.add_argument("--coarse", type=int, default=16)
     p.add_argument("--rc", type=int, default=32)
+    p.add_argument("--sub-block", type=int, default=32,
+                   help="bh3: rows per near-pass sub-block")
+    p.add_argument("--n-sub", type=int, default=24,
+                   help="bh3: sub-blocks evaluated exactly per receiver "
+                        "block")
     p.add_argument("--chunk-steps", type=int, default=0,
                    help="run the rollout as ceil(steps/chunk) sequential "
                         "scans carrying only the end state between chunks "
@@ -52,6 +59,16 @@ def main(argv=None):
                    help="skip the exact O(N^2) endpoint energy audit "
                         "(5e13 pairs at 10M); reports a sampled endpoint "
                         "force error instead")
+    p.add_argument("--chunked-energy-audit", type=int, default=0,
+                   metavar="ROWS",
+                   help="compute the exact endpoint PE in ~ROWS-row "
+                        "block-triangle chunks (ops.pairwise."
+                        "chunked_potential_energy) — the only way to run "
+                        "the full 5e13-pair audit at 10M, where one "
+                        "triangular launch is a multi-minute execution "
+                        "that crashes the tunneled worker. Composable "
+                        "with --no-energy-audit=false only; implies the "
+                        "sampled force audit stays off")
     p.add_argument("--error-sample", type=int, default=4096,
                    help="receivers for the sampled endpoint force audit "
                         "when --no-energy-audit is set")
@@ -65,7 +82,13 @@ def main(argv=None):
     def exact_energy(p_, v_):
         if args.no_energy_audit:
             return 0.0, 0.0
-        u = pallas_potential_energy(p_, mass, G, EPS)
+        if args.chunked_energy_audit:
+            from nbody_tpu.ops.pairwise import chunked_potential_energy
+
+            u = chunked_potential_energy(
+                p_, mass, G, EPS, chunk=args.chunked_energy_audit)
+        else:
+            u = pallas_potential_energy(p_, mass, G, EPS)
         return float(u), float(kinetic_energy(v_, mass))
 
     u0, k0 = exact_energy(pos, vel)
@@ -74,6 +97,7 @@ def main(argv=None):
         calc_energy=False, force_backend=args.engine, bh_near=args.bh_near,
         bh_block=args.block, bh_refresh=args.bh_refresh,
         bh_coarse=args.coarse, bh_rc=args.rc,
+        bh_sub_block=args.sub_block, bh_n_sub=args.n_sub,
     )
     if args.chunk_steps:
         import time as _time
@@ -116,8 +140,14 @@ def main(argv=None):
             q, pj, mj, G, EPS
         ))(p_end[idx], pos_p, mass_p)
         from nbody_tpu.ops.treeforce import (bh2_accelerations,
+                                             bh3_accelerations,
                                              bh_accelerations)
-        if args.engine == "bh2":
+        if args.engine == "bh3":
+            approx = bh3_accelerations(
+                p_end, mass, G, EPS, n_near=args.bh_near, block=args.block,
+                coarse=args.coarse, rc=args.rc, sub_block=args.sub_block,
+                n_sub=args.n_sub)[idx]
+        elif args.engine == "bh2":
             approx = bh2_accelerations(
                 p_end, mass, G, EPS, n_near=args.bh_near, block=args.block,
                 coarse=args.coarse, rc=args.rc)[idx]
@@ -136,7 +166,11 @@ def main(argv=None):
         "bh_near": args.bh_near, "block": args.block,
         "bh_refresh": args.bh_refresh,
         **({"coarse": args.coarse, "rc": args.rc}
-           if args.engine == "bh2" else {}),
+           if args.engine in ("bh2", "bh3") else {}),
+        **({"sub_block": args.sub_block, "n_sub": args.n_sub}
+           if args.engine == "bh3" else {}),
+        **({"chunked_energy_audit": args.chunked_energy_audit}
+           if args.chunked_energy_audit else {}),
         **({"chunk_steps": args.chunk_steps} if args.chunk_steps else {}),
         "wall_s": round(elapsed, 3),
         "ms_per_step": round(elapsed / args.steps * 1e3, 3),

@@ -110,12 +110,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _energy_kernel(fscal_ref, pos_i_ref, posT_j_ref, mass_i_ref, massT_j_ref, u_ref):
+def _energy_kernel(masked, fscal_ref, pos_i_ref, posT_j_ref, mass_i_ref,
+                   massT_j_ref, u_ref):
     """One (i, j) tile of the pairwise potential energy
     U = -G sum_{i<j} m_i m_j / (d_ij + eps)  (simulation.py:104-113).
-    The strict-upper-triangle mask runs on *global* indices so each unordered
-    pair is counted exactly once across the whole grid.
-    """
+    With ``masked`` the strict-upper-triangle mask runs on *global* indices
+    so each unordered pair is counted exactly once across the whole grid;
+    unmasked, the tile sums ALL (i, j) pairs — the rectangular cross-set
+    kernel of :func:`pallas_cross_potential` (targets and sources disjoint,
+    so no pair can repeat)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     ti = pos_i_ref.shape[0]
@@ -132,9 +135,11 @@ def _energy_kernel(fscal_ref, pos_i_ref, posT_j_ref, mass_i_ref, massT_j_ref, u_
     dist = jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz) + eps, 1e-30)
 
     mm = mass_i_ref[:, 0:1] * massT_j_ref[0:1, :]  # (TI, TJ)
-    row_g = i * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
-    col_g = j * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-    pair = jnp.where(row_g < col_g, -mm / dist, 0.0)
+    pair = -mm / dist
+    if masked:
+        row_g = i * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+        col_g = j * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+        pair = jnp.where(row_g < col_g, pair, 0.0)
     partial = jnp.sum(pair)
 
     @pl.when((i == 0) & (j == 0))
@@ -178,7 +183,7 @@ def pallas_potential_energy(
         [jnp.asarray(g_const, jnp.float32), jnp.asarray(softening, jnp.float32)]
     )
     u = pl.pallas_call(
-        _energy_kernel,
+        partial(_energy_kernel, True),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -329,3 +334,96 @@ def pallas_accelerations(
     if mask is not None:
         acc = acc * mask[:n, None].astype(acc.dtype)
     return acc
+
+
+@partial(jax.jit, static_argnames=("tile_i", "tile_j", "interpret"))
+def pallas_cross_potential(
+    pos_i: jax.Array,
+    mass_i: jax.Array,
+    pos_j: jax.Array,
+    mass_j: jax.Array,
+    g_const,
+    softening,
+    tile_i: int = 512,
+    tile_j: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """PE of every (i, j) pair between two DISJOINT particle sets,
+    U = -G sum_{i in I, j in J} m_i m_j / (d_ij + eps) — the rectangular,
+    unmasked twin of :func:`pallas_potential_energy`.
+
+    Exists for chunked exact-energy audits at scales where the full
+    triangular kernel is one multi-minute device execution (5e13 pairs at
+    10M bodies — the tunneled worker crashes beyond ~60-90 s): split the
+    particles into C chunks, sum ``pallas_potential_energy`` over the C
+    diagonal chunks plus this kernel over the C(C-1)/2 unordered chunk
+    pairs — every unordered particle pair is counted exactly once and each
+    execution stays at ~seconds. The sets MUST be disjoint (a shared
+    particle would self-pair at distance 0, contributing -G m^2/eps).
+    """
+    ni, nj = pos_i.shape[0], pos_j.shape[0]
+    pos_i = jnp.asarray(pos_i, jnp.float32)
+    pos_j = jnp.asarray(pos_j, jnp.float32)
+    mass_i = jnp.asarray(mass_i, jnp.float32)
+    mass_j = jnp.asarray(mass_j, jnp.float32)
+
+    ti = min(tile_i, _round_up(ni, 8))
+    tj = min(tile_j, _round_up(nj, 128))
+    ni_pad = _round_up(ni, ti)
+    nj_pad = _round_up(nj, tj)
+    if ni_pad != ni:
+        pos_i = jnp.pad(pos_i, ((0, ni_pad - ni), (0, 0)))
+        mass_i = jnp.pad(mass_i, (0, ni_pad - ni))  # zero mass: no pairs
+    if nj_pad != nj:
+        pos_j = jnp.pad(pos_j, ((0, nj_pad - nj), (0, 0)))
+        mass_j = jnp.pad(mass_j, (0, nj_pad - nj))
+    grid = (ni_pad // ti, nj_pad // tj)
+
+    fscal = jnp.stack(
+        [jnp.asarray(g_const, jnp.float32),
+         jnp.asarray(softening, jnp.float32)]
+    )
+    u = pl.pallas_call(
+        partial(_energy_kernel, False),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ti, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ni_pad * nj_pad,
+            bytes_accessed=nj_pad * 16 * grid[0] + ni_pad * 16,
+            transcendentals=ni_pad * nj_pad,
+        ),
+        interpret=interpret,
+    )(fscal, pos_i, pos_j.T, mass_i[:, None], mass_j[None, :])
+    return jnp.asarray(g_const, jnp.float32) * u[0, 0]
+
+
+def chunked_potential_energy(pos, mass, g_const, softening, chunk: int,
+                             interpret: bool = False) -> float:
+    """Exact total pairwise PE as a float, computed in C diagonal +
+    C(C-1)/2 cross kernel launches of ~``chunk`` rows each (block-triangle
+    decomposition; see :func:`pallas_cross_potential`). Host-side f64
+    accumulation of the per-launch f32 partials. For N where one
+    triangular launch exceeds the device's safe single-execution time."""
+    n = pos.shape[0]
+    nc = -(-n // chunk)
+    bounds = [(k * chunk, min((k + 1) * chunk, n)) for k in range(nc)]
+    total = 0.0
+    for a, (lo, hi) in enumerate(bounds):
+        total += float(pallas_potential_energy(
+            pos[lo:hi], mass[lo:hi], g_const, softening,
+            interpret=interpret))
+        for lo2, hi2 in bounds[a + 1:]:
+            total += float(pallas_cross_potential(
+                pos[lo:hi], mass[lo:hi], pos[lo2:hi2], mass[lo2:hi2],
+                g_const, softening, interpret=interpret))
+    return total

@@ -129,6 +129,31 @@ def test_pallas_potential_energy_matches_dense():
     assert abs(u_pal_m - u_ref_m) < 1e-5 * abs(u_ref_m)
 
 
+def test_chunked_potential_energy_matches_full():
+    """Block-triangle decomposition (C diagonal + C(C-1)/2 cross launches)
+    counts every unordered pair exactly once — the 10M-scale exact-audit
+    path where one triangular launch exceeds the safe execution time."""
+    from nbody_tpu.ops.pairwise import (chunked_potential_energy,
+                                        pallas_cross_potential,
+                                        pallas_potential_energy)
+
+    pos, _, mass = _random_system(500, seed=11)
+    u_full = float(pallas_potential_energy(pos, mass, G, EPS,
+                                           interpret=True))
+    u_chunk = chunked_potential_energy(pos, mass, G, EPS, chunk=140,
+                                       interpret=True)
+    assert abs(u_chunk - u_full) < 1e-5 * abs(u_full)
+
+    # cross kernel alone: disjoint halves == dense cross-pair sum
+    a, b = pos[:250], pos[250:]
+    ma, mb = mass[:250], mass[250:]
+    d = jnp.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+    u_ref = float(-G * jnp.sum(ma[:, None] * mb[None, :] / (d + EPS)))
+    u_x = float(pallas_cross_potential(a, ma, b, mb, G, EPS,
+                                       interpret=True))
+    assert abs(u_x - u_ref) < 1e-5 * abs(u_ref)
+
+
 def test_partial_acc_diag_delta_deprecated():
     """diag_delta is ignored by the force kernel — passing it must warn
     (ADVICE r3: a dead argument whose name implies exclusion is a trap)."""
