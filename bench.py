@@ -18,6 +18,16 @@ Frontier baselines (derivations in ``_frontier``):
   - surrogates @100k vs the reference's measured per-step surrogate times
     at 500 bodies scaled linearly in N (their per-edge cost is O(N k)) —
     generous to the reference, which could never hold 100k bodies.
+
+COMPARISON BASIS (what each line's vs_baseline means): every line divides
+by the REFERENCE'S OWN engine for that workload — direct-vs-direct,
+BH-vs-direct (the reference has no treecode; its only classical engine is
+the O(N^2) direct sum), GNN-vs-its-GNN, ContConv-vs-its-ContConv. The
+surrogate margins (~25x GNN) are smaller than the classical ones (~10^3x)
+because kNN+EdgeConv at 100k costs ~4x the classical bh2 step — the
+surrogate's economics vs the *in-repo* classical engines live in
+results/large_scale/crossover*.json (surrogate 3.4x direct at 100k),
+not in this file's reference-relative numbers.
 """
 
 import json
@@ -69,7 +79,7 @@ def main():
 
     psteps = N_BODIES * STEPS / elapsed
     _emit(
-        f"direct-sum leapfrog rollout throughput ({N_BODIES} bodies, {STEPS} steps)",
+        f"direct-sum leapfrog rollout throughput ({N_BODIES} bodies, {STEPS} steps; vs reference direct sum, O(N^2)-scaled)",
         psteps, BASELINE_PSTEPS,
     )
 
@@ -107,7 +117,7 @@ def _frontier():
         el = timed(lambda: simulate(pos, vel, mass, steps, cfg),
                    lambda t: t.positions)
         # CPU reference direct sum O(N^2)-scaled to 200k bodies
-        _emit(f"Barnes-Hut rollout throughput ({n} bodies, {steps} steps)",
+        _emit(f"Barnes-Hut rollout throughput ({n} bodies, {steps} steps; vs reference direct sum, O(N^2)-scaled — it has no treecode)",
               n * steps / el, 500 / 2.9e-3 / (n / 500))
 
     def gnn_100k():
@@ -130,7 +140,7 @@ def _frontier():
             lambda r: r[0])
         # reference GNN surrogate: 2.84 ms/step at 500 bodies (CPU,
         # results/gnn/test_results_stepwise.csv), O(N k) => linear in N
-        _emit(f"GNN surrogate rollout throughput ({n} bodies, {steps} steps)",
+        _emit(f"GNN surrogate rollout throughput ({n} bodies, {steps} steps; vs reference GNN, linear-N-scaled)",
               n * steps / el, 500 / 2.84e-3)
 
     def contconv_100k():
@@ -159,7 +169,7 @@ def _frontier():
             lambda r: r[0])
         # reference ContConv surrogate: 2.22 s/step at 500 bodies (CPU,
         # results/contconv/test_results_stepwise.csv), O(N k) => linear in N
-        _emit(f"ContConv surrogate rollout throughput ({n} bodies, {steps} steps)",
+        _emit(f"ContConv surrogate rollout throughput ({n} bodies, {steps} steps; vs reference ContConv, linear-N-scaled)",
               n * steps / el, 500 / 2.22)
 
     return [("bh_200k", bh_200k), ("gnn_100k", gnn_100k),

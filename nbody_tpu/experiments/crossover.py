@@ -56,16 +56,26 @@ def main(argv=None):
     p.add_argument("--bh", action="store_true",
                    help="also time a Barnes-Hut-lite rollout "
                         "(force_backend='bh', bh_refresh=8)")
+    p.add_argument("--bh2", action="store_true",
+                   help="also time the two-level engine (1M recipe: "
+                        "B=128, C=16, rc=48, refresh=8)")
+    p.add_argument("--bh3", action="store_true",
+                   help="also time the sub-refined (Verlet-list) engine")
     p.add_argument("--bh-near", type=int, default=32)
+    p.add_argument("--rc", type=int, default=48)
+    p.add_argument("--n-sub", type=int, default=24,
+                   help="bh3: exact sub-blocks per receiver block")
     p.add_argument("--only", nargs="+", default=None,
-                   choices=["direct", "surrogate", "bh"],
+                   choices=["direct", "surrogate", "bh", "bh2", "bh3"],
                    help="restrict to these modes (e.g. --only bh to extend "
                         "an existing artifact one compile at a time)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
-    modes = set(args.only or ["direct", "surrogate"] + (["bh"] if args.bh
-                                                        else []))
+    modes = set(args.only or ["direct", "surrogate"]
+                + (["bh"] if args.bh else [])
+                + (["bh2"] if args.bh2 else [])
+                + (["bh3"] if args.bh3 else []))
     rows = []
     for n in args.n_bodies:
         pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
@@ -85,6 +95,35 @@ def main(argv=None):
                                    bh_near=args.bh_near, bh_refresh=8)
             el = _timed(lambda: simulate(pos, vel, mass, args.steps, cfg))
             rows.append({"n": n, "mode": f"bh(M={args.bh_near},refresh=8)",
+                         "ms_per_step": el / args.steps * 1e3,
+                         "psteps_per_s": n * args.steps / el})
+            print(json.dumps(rows[-1]), flush=True)
+
+        if "bh2" in modes:
+            cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
+                                   calc_energy=False, force_backend="bh2",
+                                   bh_near=args.bh_near, bh_block=128,
+                                   bh_coarse=16, bh_rc=args.rc,
+                                   bh_refresh=8)
+            el = _timed(lambda: simulate(pos, vel, mass, args.steps, cfg))
+            rows.append({"n": n,
+                         "mode": f"bh2(M={args.bh_near},B=128,rc={args.rc},"
+                                 "refresh=8)",
+                         "ms_per_step": el / args.steps * 1e3,
+                         "psteps_per_s": n * args.steps / el})
+            print(json.dumps(rows[-1]), flush=True)
+
+        if "bh3" in modes:
+            cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
+                                   calc_energy=False, force_backend="bh3",
+                                   bh_near=args.bh_near, bh_block=128,
+                                   bh_coarse=16, bh_rc=args.rc,
+                                   bh_sub_block=32, bh_n_sub=args.n_sub,
+                                   bh_refresh=8)
+            el = _timed(lambda: simulate(pos, vel, mass, args.steps, cfg))
+            rows.append({"n": n,
+                         "mode": f"bh3(M={args.bh_near},B=128,rc={args.rc},"
+                                 f"K={args.n_sub},refresh=8)",
                          "ms_per_step": el / args.steps * 1e3,
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)
