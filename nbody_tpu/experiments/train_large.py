@@ -97,6 +97,11 @@ def main(argv=None):
                         "multi-minute execution (tunneled-worker crash)")
     p.add_argument("--data-dir", default="results/large_scale/data")
     p.add_argument("--out", default=None)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="checkpoint every E epochs into <out>_ckpt/ and "
+                        "resume from the latest on restart — multi-hour "
+                        "1M runs must survive a timeout/worker crash "
+                        "without losing their training progress")
     p.add_argument("--skip-datagen", action="store_true",
                    help="reuse existing npz datasets")
     args = p.parse_args(argv)
@@ -192,6 +197,12 @@ def main(argv=None):
         model, learning_rate=args.lr, dt=DT, seed=0,
         scheduler=PlateauScheduler(lr=args.lr, factor=0.25, patience=5),
     )
+    mtag = "" if args.model == "gnn" else f"_{args.model}"
+    out = args.out or f"results/large_scale/train_{tag}{mtag}.json"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+
+    import pandas as pd
+
     epoch_walls = []
     last = [time.perf_counter()]
 
@@ -199,12 +210,23 @@ def main(argv=None):
         now = time.perf_counter()
         epoch_walls.append(now - last[0])
         last[0] = now
+        # per-epoch incremental persistence: a timeout/worker crash mid-run
+        # must not lose hours of 1M training evidence (the rest of the
+        # artifact is rewritten from scratch after eval). `e` is the
+        # trainer's resume-aware counter, so a resumed run's rows continue
+        # the original numbering instead of restarting at 1.
+        pd.DataFrame({"epoch": np.arange(e - len(losses) + 1, e + 1),
+                      "loss": losses, "mse_loss": mses,
+                      "wall_s": epoch_walls[: len(losses)]}).to_csv(
+            out[:-5] + "_epoch_loss.csv", index=False)
 
     t0 = time.perf_counter()
     losses, mses = trainer.train_from_dir(
         train_dir, epochs=args.epochs, batch_size=args.batch_size,
         batch_mode="bucketed", verbose=True, on_epoch_end=on_epoch,
         scan_chunk=args.scan_chunk,
+        save_every=args.save_every,
+        save_path=(out[:-5] + "_ckpt") if args.save_every else None,
     )
     train_s = time.perf_counter() - t0
     print(f"train: {train_s:.1f}s, final loss {losses[-1]:.4f}", flush=True)
@@ -277,15 +299,11 @@ def main(argv=None):
             "predict_zero_baseline_scaled_rmse": zero_baseline,
         },
     }
-    mtag = "" if args.model == "gnn" else f"_{args.model}"
-    out = args.out or f"results/large_scale/train_{tag}{mtag}.json"
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
-    import pandas as pd
-
-    pd.DataFrame({"epoch": np.arange(1, len(losses) + 1), "loss": losses,
-                  "mse_loss": mses,
+    pd.DataFrame({"epoch": np.arange(trainer.epoch - len(losses) + 1,
+                                     trainer.epoch + 1),
+                  "loss": losses, "mse_loss": mses,
                   "wall_s": epoch_walls[: len(losses)]}).to_csv(
         out[:-5] + "_epoch_loss.csv", index=False)
     print(f"wrote {out} (pre-rollout)", flush=True)
