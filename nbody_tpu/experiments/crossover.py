@@ -77,6 +77,41 @@ def main(argv=None):
                 + (["bh2"] if args.bh2 else [])
                 + (["bh3"] if args.bh3 else []))
     rows = []
+
+    # when extending an existing artifact (--only), load it ONCE up front so
+    # the incremental rewrites below can merge against it
+    old_rows = []
+    if args.out and args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        if old.get("steps") != args.steps:
+            raise SystemExit(
+                f"{args.out} was measured with steps={old.get('steps')}; "
+                f"rerun with --steps {old.get('steps')} or a fresh --out "
+                "(mixing scan lengths in one artifact is misleading)")
+        old_rows = old["rows"]
+
+    def _write():
+        """Rewrite the artifact after every row: a timeout mid-sweep (each
+        1M engine mode is a multi-minute compile) must not lose the rows
+        already measured. New rows replace same (n, mode) in the old
+        artifact; modes are matched with the knn impl tag stripped so e.g.
+        a --knn-impl pallas rerun replaces the older xla-tagged rows
+        instead of coexisting as a duplicate series."""
+        if not args.out:
+            return
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+        def _norm(mode):
+            return mode.replace("pallas,", "").replace("xla,", "")
+
+        fresh = {(r["n"], _norm(r["mode"])) for r in rows}
+        merged = [r for r in old_rows
+                  if (r["n"], _norm(r["mode"])) not in fresh] + rows
+        merged.sort(key=lambda r: (r["n"], r["mode"]))
+        with open(args.out, "w") as f:
+            json.dump({"device": jax.devices()[0].platform,
+                       "steps": args.steps, "rows": merged}, f, indent=1)
     for n in args.n_bodies:
         pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
         fetch_scalar(pos)
@@ -88,6 +123,7 @@ def main(argv=None):
                          "ms_per_step": el / args.steps * 1e3,
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)
+            _write()
 
         if "bh" in modes:
             cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
@@ -98,6 +134,7 @@ def main(argv=None):
                          "ms_per_step": el / args.steps * 1e3,
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)
+            _write()
 
         if "bh2" in modes:
             cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
@@ -112,6 +149,7 @@ def main(argv=None):
                          "ms_per_step": el / args.steps * 1e3,
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)
+            _write()
 
         if "bh3" in modes:
             cfg = SimulationConfig(g_const=G, softening=EPS, dt=DT,
@@ -127,6 +165,7 @@ def main(argv=None):
                          "ms_per_step": el / args.steps * 1e3,
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)
+            _write()
 
         if "surrogate" not in modes:
             continue
@@ -149,31 +188,9 @@ def main(argv=None):
                          "ms_per_step": el / args.steps * 1e3,
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)
+            _write()
 
     if args.out:
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        if args.only and os.path.exists(args.out):
-            # extend an existing artifact: new rows replace same (n, mode);
-            # modes are matched with the knn impl tag stripped so e.g. a
-            # --knn-impl pallas rerun replaces the older xla-tagged rows
-            # instead of coexisting as a duplicate series
-            def _norm(mode):
-                return mode.replace("pallas,", "").replace("xla,", "")
-
-            with open(args.out) as f:
-                old = json.load(f)
-            if old.get("steps") != args.steps:
-                raise SystemExit(
-                    f"{args.out} was measured with steps={old.get('steps')}; "
-                    f"rerun with --steps {old.get('steps')} or a fresh --out "
-                    "(mixing scan lengths in one artifact is misleading)")
-            fresh = {(r["n"], _norm(r["mode"])) for r in rows}
-            rows = [r for r in old["rows"]
-                    if (r["n"], _norm(r["mode"])) not in fresh] + rows
-            rows.sort(key=lambda r: (r["n"], r["mode"]))
-        with open(args.out, "w") as f:
-            json.dump({"device": jax.devices()[0].platform,
-                       "steps": args.steps, "rows": rows}, f, indent=1)
         print(f"wrote {args.out}")
 
 

@@ -209,11 +209,15 @@ def main(argv=None):
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+        # rewrite the artifact after EVERY row: a timeout mid-sweep (the
+        # 4M compile through the remote tunnel runs minutes) must not lose
+        # the rows already measured
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump({"device": jax.devices()[0].platform,
+                           "reps": args.reps, "rows": rows}, f, indent=1)
     if args.out:
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump({"device": jax.devices()[0].platform,
-                       "reps": args.reps, "rows": rows}, f, indent=1)
         print(f"wrote {args.out}")
 
 
