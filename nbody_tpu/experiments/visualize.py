@@ -187,46 +187,57 @@ def plot_rollout(base, names, outdir):
 
 
 def plot_crossover(base, outdir):
-    """Direct-sum vs surrogate step time across N, from the committed
-    crossover artifacts (``results/large_scale/crossover_pallas.json``,
-    falling back to ``crossover.json``). Skipped silently if neither exists.
+    """Classical engines vs surrogate step time across N, merged from all
+    committed crossover artifacts (oldest to newest; a newer artifact's row
+    replaces an older one with the same (n, series)). Skipped silently if
+    none exists. The 1M direct row comes from a separate 2-step-scan
+    artifact (``crossover_r4_direct.json``) because the fused 10-step
+    1e12-pair dispatch crashes the TPU worker (see scripts/tpu_queue11.sh).
 
-    Series colors are the Okabe-Ito colorblind-safe triplet in fixed order
-    (direct, surrogate refresh=1, surrogate refresh=8)."""
+    Series colors are Okabe-Ito colorblind-safe, fixed order."""
     import json
 
-    path = None
-    for name in ("crossover_pallas.json", "crossover.json"):
-        cand = os.path.join(base, "results", "large_scale", name)
-        if os.path.exists(cand):
-            path = cand
-            break
-    if path is None:
-        return
-    with open(path) as f:
-        data = json.load(f)
-    rows = data["rows"]
-
+    rows_by_key = {}  # (n, series key) -> row, later artifacts win
     import re
 
-    series = {}  # mode -> (ns, ms)
-    for r in rows:
-        mode = r["mode"]
+    def _key(mode):
         # exact refresh parse — substring tests would fold refresh=16 into
         # the refresh=1 series
         m = re.search(r"refresh=(\d+)", mode)
-        key = ("direct" if mode == "direct" else
-               "classical BH" if mode.startswith("bh(") else
-               f"surrogate (refresh={m.group(1)})" if m else mode)
+        return ("direct" if mode == "direct" else
+                "classical BH" if mode.startswith("bh(") else
+                "two-level BH (bh2)" if mode.startswith("bh2(") else
+                "Verlet-refined BH (bh3)" if mode.startswith("bh3(") else
+                f"surrogate (refresh={m.group(1)})" if m else mode)
+
+    found = False
+    for name in ("crossover.json", "crossover_pallas.json",
+                 "crossover_r3.json", "crossover_r4.json",
+                 "crossover_r4_direct.json"):
+        cand = os.path.join(base, "results", "large_scale", name)
+        if not os.path.exists(cand):
+            continue
+        found = True
+        with open(cand) as f:
+            for r in json.load(f)["rows"]:
+                rows_by_key[(r["n"], _key(r["mode"]))] = r
+    if not found:
+        return
+
+    series = {}  # series key -> (ns, ms)
+    for (n, key), r in rows_by_key.items():
         series.setdefault(key, ([], []))
-        series[key][0].append(r["n"])
+        series[key][0].append(n)
         series[key][1].append(r["ms_per_step"])
 
-    known = ["direct", "classical BH",
+    known = ["direct", "classical BH", "two-level BH (bh2)",
+             "Verlet-refined BH (bh3)",
              "surrogate (refresh=1)", "surrogate (refresh=8)"]
     order = known + sorted(k for k in series if k not in known)
     colors = {"direct": "#0072B2",
               "classical BH": "#D55E00",
+              "two-level BH (bh2)": "#CC79A7",
+              "Verlet-refined BH (bh3)": "#000000",
               "surrogate (refresh=1)": "#E69F00",
               "surrogate (refresh=8)": "#009E73"}
     fig, ax = plt.subplots(figsize=(6.4, 4.2))
@@ -242,8 +253,8 @@ def plot_crossover(base, outdir):
     ax.set_xlabel("bodies")
     ax.set_ylabel("ms / step")
     ax.set_title(
-        f"Classical (direct / BH) vs surrogate step time "
-        f"(v5e, {data.get('steps', '?')}-step scans)"
+        "Classical (direct / BH / bh2 / bh3) vs surrogate step time\n"
+        "(v5e, 10-step scans; 1M direct: 2-step scan)"
     )
     ax.grid(True, which="both", alpha=0.25, linewidth=0.5)
     ax.legend(frameon=False)
