@@ -78,18 +78,24 @@ def main(argv=None):
                 + (["bh3"] if args.bh3 else []))
     rows = []
 
-    # when extending an existing artifact (--only), load it ONCE up front so
-    # the incremental rewrites below can merge against it
+    # when an artifact already exists, load it ONCE up front so the
+    # incremental rewrites below merge against it instead of clobbering it
+    # after the first row — a mid-sweep crash must never shrink the artifact
+    # (same (n, mode) rows are still replaced by the fresh measurement)
     old_rows = []
-    if args.out and args.only and os.path.exists(args.out):
+    if args.out and os.path.exists(args.out):
         with open(args.out) as f:
             old = json.load(f)
         if old.get("steps") != args.steps:
-            raise SystemExit(
-                f"{args.out} was measured with steps={old.get('steps')}; "
-                f"rerun with --steps {old.get('steps')} or a fresh --out "
-                "(mixing scan lengths in one artifact is misleading)")
-        old_rows = old["rows"]
+            if args.only:
+                raise SystemExit(
+                    f"{args.out} was measured with steps={old.get('steps')}; "
+                    f"rerun with --steps {old.get('steps')} or a fresh --out "
+                    "(mixing scan lengths in one artifact is misleading)")
+            # full sweep at a new scan length: deliberate re-measurement,
+            # start from scratch rather than mixing scan lengths
+        else:
+            old_rows = old["rows"]
 
     def _write():
         """Rewrite the artifact after every row: a timeout mid-sweep (each

@@ -67,7 +67,11 @@ def main(argv=None):
                         "TPU worker (observed at 1M x 400 steps), and the "
                         "full-trajectory HBM footprint scales with the "
                         "longest single scan")
-    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=10,
+                   help="epochs to run in THIS invocation — with "
+                        "--save-every, a relaunched run resumes from the "
+                        "latest checkpoint and runs this many MORE epochs "
+                        "(the epoch-loss CSV keeps the pre-resume rows)")
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--neighbors", type=int, default=10)
@@ -205,20 +209,31 @@ def main(argv=None):
 
     epoch_walls = []
     last = [time.perf_counter()]
+    csv_path = out[:-5] + "_epoch_loss.csv"
+
+    def write_epoch_csv(e, losses, mses):
+        # per-epoch incremental persistence: a timeout/worker crash mid-run
+        # must not lose hours of 1M training evidence (the rest of the
+        # artifact is rewritten from scratch after eval). `e` is the
+        # trainer's resume-aware counter, so a resumed run's rows continue
+        # the original numbering instead of restarting at 1 — and rows
+        # below the resume epoch are merged from the existing CSV so a
+        # resumed run doesn't erase the pre-crash history it protects.
+        new = pd.DataFrame({"epoch": np.arange(e - len(losses) + 1, e + 1),
+                            "loss": losses, "mse_loss": mses,
+                            "wall_s": epoch_walls[: len(losses)]})
+        first = int(new["epoch"].iloc[0])
+        if first > 1 and os.path.exists(csv_path):
+            old = pd.read_csv(csv_path)
+            new = pd.concat([old[old["epoch"] < first], new],
+                            ignore_index=True)
+        new.to_csv(csv_path, index=False)
 
     def on_epoch(e, losses, mses):
         now = time.perf_counter()
         epoch_walls.append(now - last[0])
         last[0] = now
-        # per-epoch incremental persistence: a timeout/worker crash mid-run
-        # must not lose hours of 1M training evidence (the rest of the
-        # artifact is rewritten from scratch after eval). `e` is the
-        # trainer's resume-aware counter, so a resumed run's rows continue
-        # the original numbering instead of restarting at 1.
-        pd.DataFrame({"epoch": np.arange(e - len(losses) + 1, e + 1),
-                      "loss": losses, "mse_loss": mses,
-                      "wall_s": epoch_walls[: len(losses)]}).to_csv(
-            out[:-5] + "_epoch_loss.csv", index=False)
+        write_epoch_csv(e, losses, mses)
 
     t0 = time.perf_counter()
     losses, mses = trainer.train_from_dir(
@@ -301,11 +316,7 @@ def main(argv=None):
     }
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
-    pd.DataFrame({"epoch": np.arange(trainer.epoch - len(losses) + 1,
-                                     trainer.epoch + 1),
-                  "loss": losses, "mse_loss": mses,
-                  "wall_s": epoch_walls[: len(losses)]}).to_csv(
-        out[:-5] + "_epoch_loss.csv", index=False)
+    write_epoch_csv(trainer.epoch, losses, mses)
     print(f"wrote {out} (pre-rollout)", flush=True)
 
     # rollout vs BH ground truth + exact forces

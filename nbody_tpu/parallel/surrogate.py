@@ -177,6 +177,10 @@ def _contconv_forward_local(model, params, bstats, pos_l, vel_l, mass_l,
     ``(out_l, new_bstats)`` so the sharded training step can carry the
     running stats. Eval mode returns ``out_l`` only.
     """
+    if train:
+        assert (model.encoder_dropout == 0.0
+                and model.continuous_conv_dropout == 0.0), (
+            "sharded training does not thread dropout RNGs")
     resolutions = model._resolutions()
     me = jax.lax.axis_index(axis)
     x_l = jnp.concatenate([pos_l, vel_l, mass_l[:, None]], axis=-1)
@@ -212,8 +216,6 @@ def _contconv_forward_local(model, params, bstats, pos_l, vel_l, mass_l,
         enc_vars = {"params": params["MLP_0"],
                     "batch_stats": bstats["MLP_0"]}
         if train:
-            assert model.encoder_dropout == 0.0, (
-                "sharded training does not thread dropout RNGs")
             h_full, mut = enc.apply(enc_vars, h_full[None], train=True,
                                     mutable=["batch_stats"])
             h_full = h_full[0]
@@ -404,6 +406,9 @@ def sharded_loss_and_grad(model, variables, pos, vel, mass, y, mesh: Mesh,
     :return: (loss, grads) — loss a replicated scalar, grads a params-tree
         of replicated full gradients.
     """
+    assert model.encoder_dropout == 0.0, (
+        "sharded training does not thread dropout RNGs — "
+        "_gnn_forward_local applies the encoder deterministically")
     params = variables["params"]
     n = pos.shape[0]
     n_dev = mesh.shape[axis]
