@@ -34,7 +34,9 @@ def predict_accelerations(model, variables, pos, vel, mass):
 
 
 @partial(jax.jit, static_argnames=("model", "steps", "graph_spec",
-                                   "graph_refresh"))
+                                   "graph_refresh", "windowed",
+                                   "window_half", "window_budget",
+                                   "window_bf16", "window_interpret"))
 def autoregressive_rollout(
     model,
     variables: Any,
@@ -45,6 +47,11 @@ def autoregressive_rollout(
     dt: float,
     graph_spec=None,
     graph_refresh: int = 1,
+    windowed: bool = False,
+    window_half: int = 384,
+    window_budget=None,
+    window_bf16: bool = False,
+    window_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Roll a single scene forward with the surrogate force model.
 
@@ -66,19 +73,59 @@ def autoregressive_rollout(
         kNN(10) turnover per dt=1e-4 leapfrog step is tiny, so small values
         (4-10) are physically safe; the default 1 keeps exact per-step
         rebuild parity with the reference (contconv.py:225, gnn.py:13).
+    :param windowed: run the EdgeConv gathers through the Morton-window
+        Pallas kernel (``ops/edgeconv_kernel.py``; GraphModel only). The
+        state is payload-sorted into Morton order ONCE up front so graph
+        indices are near-diagonal, each refresh also recomputes the
+        kernel/fallback edge routing plan, and the recorded trajectory is
+        unsorted back to the caller's row order at the end. Same function
+        as the fused forward (float-rounding-level differences only).
+        Long rollouts slowly drift from the initial Morton order, growing
+        the fallback share — ``window_budget`` (default 25% of edges) must
+        absorb it; over-budget edges would be silently dropped.
+    :param window_half: window half-width in sorted rows (multiple of 128).
+    :param window_bf16: run the one-hot gather contraction on the MXU in
+        bf16 (~4x the f32 MXU rate; v rounds to bf16 — ~1e-3 relative).
     :return: (pos, vel, acc) each (steps, N, 3); row 0 is the initial state
         with the predicted initial acceleration.
     """
     spec = model.graph_spec if graph_spec is None else (
         (graph_spec[0], dict(graph_spec[1]))
     )
+
+    if windowed:
+        from nbody_tpu.ops.edgeconv_kernel import plan_windowed_gather
+        from nbody_tpu.ops.spatial import morton_keys
+
+        n = pos0.shape[0]
+        keys = morton_keys(pos0)
+        _, px, py, pz, vx, vy, vz, mass, ids = jax.lax.sort(
+            (keys, pos0[:, 0], pos0[:, 1], pos0[:, 2],
+             vel0[:, 0], vel0[:, 1], vel0[:, 2], mass,
+             jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        pos0 = jnp.stack([px, py, pz], axis=1)
+        vel0 = jnp.stack([vx, vy, vz], axis=1)
+        window_args = (256, window_half, window_interpret,
+                       jnp.bfloat16 if window_bf16 else jnp.float32)
     mass_col = mass[:, None]
 
     def build(pos):
-        return build_graph(spec, pos[None])
+        idx, valid = build_graph(spec, pos[None])
+        if not windowed:
+            return idx, valid
+        plan = plan_windowed_gather(idx[0], valid[0], tile=256,
+                                    half=window_half, budget=window_budget)
+        return idx, (valid, plan)
 
     def forward(pos, vel, idx, valid):
         x = jnp.concatenate([pos, vel, mass_col], axis=-1)[None]
+        if windowed:
+            valid, plan = valid
+            return model.apply(variables, x, idx, valid, train=False,
+                               window_plan=plan,
+                               window_args=window_args)[0]
         return model.apply(variables, x, idx, valid, train=False)[0]
 
     def predict(pos, vel):
@@ -132,4 +179,11 @@ def autoregressive_rollout(
     ps = jnp.concatenate([pos0[None], ps], axis=0)
     vs = jnp.concatenate([vel0[None], vs], axis=0)
     accs = jnp.concatenate([acc0[None], accs], axis=0)
+    if windowed:
+        # back to the caller's row order: ONE big-row gather for the whole
+        # trajectory (issue cost is per row, amortised over steps x 3 cols)
+        perm = jnp.argsort(ids)
+        ps = jnp.take(ps, perm, axis=1)
+        vs = jnp.take(vs, perm, axis=1)
+        accs = jnp.take(accs, perm, axis=1)
     return ps, vs, accs
