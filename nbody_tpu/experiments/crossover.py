@@ -51,6 +51,9 @@ def main(argv=None):
                    help="morton curve copies (speed/recall tradeoff)")
     p.add_argument("--knn-block", type=int, default=256,
                    help="morton block rows (pallas window == block)")
+    p.add_argument("--windowed", action="store_true",
+                   help="also time the Morton-window EdgeConv kernel "
+                        "rollout (f32 and bf16 MXU gather) per refresh")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the restructured EdgeConv forward")
     p.add_argument("--bh", action="store_true",
@@ -195,6 +198,20 @@ def main(argv=None):
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)
             _write()
+            if not args.windowed:
+                continue
+            for wtag, bf16 in (("window", False), ("window-bf16", True)):
+                el = _timed(lambda r=r, bf16=bf16: autoregressive_rollout(
+                    model, variables, pos, vel, mass, args.steps + 1, DT,
+                    graph_refresh=r, windowed=True, window_bf16=bf16,
+                ))
+                rows.append({"n": n,
+                             "mode": f"surrogate({impl_tag}{wtag},"
+                                     f"refresh={r})",
+                             "ms_per_step": el / args.steps * 1e3,
+                             "psteps_per_s": n * args.steps / el})
+                print(json.dumps(rows[-1]), flush=True)
+                _write()
 
     if args.out:
         print(f"wrote {args.out}")
