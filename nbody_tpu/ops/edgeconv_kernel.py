@@ -88,7 +88,12 @@ def _windowed_kernel(u_ref, idx_ref, mask_ref, vpad_hbm, out_ref, scr_ref,
             oh.reshape(tile * k, _LANES),
             scr_ref[s * _LANES:(s + 1) * _LANES, :].astype(mxu_dtype),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            # v5e's default f32 matmul rounds the rhs to bf16 (measured
+            # 4e-2 abs error on unit-scale sums); HIGHEST (6-pass) makes
+            # the one-hot gather exact. bf16 mode keeps the fast path.
+            precision=(jax.lax.Precision.HIGHEST
+                       if mxu_dtype == jnp.float32 else None))
 
     u = u_ref[...]  # (T, d), bias already folded in
     msg = jnp.tanh(u[:, None, :] + g.reshape(tile, k, d))

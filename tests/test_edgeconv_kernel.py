@@ -114,3 +114,11 @@ def test_windowed_rollout_matches_standard():
     for a, b in zip(ref, win):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+    # the ACCELERATIONS are the discriminating signal: position deltas over
+    # a few dt=1e-4 steps are ~1e-14 and would hide forward-pass errors
+    # (this is how the real-TPU bf16-rounding flaw initially slipped past —
+    # positions matched to 1e-10 while gathered messages were off by 1e-2)
+    ra, wa = np.asarray(ref[2]), np.asarray(win[2])
+    denom = np.abs(ra).max() + 1e-30
+    assert np.abs(ra - wa).max() / denom < 1e-5, (
+        np.abs(ra - wa).max() / denom)
