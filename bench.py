@@ -4,7 +4,8 @@ continuity) is the 10k-body direct-sum leapfrog rollout throughput on TPU.
 That kernel has been rsqrt-bound since round 1 (~1316x baseline), so
 secondary FRONTIER lines follow — one JSON line each, same schema, each
 against its own reference-derived baseline — covering what later rounds
-actually improved: the Barnes-Hut engine at 200k, the GNN surrogate
+actually improved: the Barnes-Hut engine at 200k, the bh3 Verlet-list
+engine at 1M (round 4's headline classical result), the GNN surrogate
 rollout at 100k, and the fused-Pallas ContConv surrogate at 100k. Every
 frontier line is best-effort (guarded): a failure there never corrupts
 the primary metric.
@@ -120,6 +121,23 @@ def _frontier():
         _emit(f"Barnes-Hut rollout throughput ({n} bodies, {steps} steps; vs reference direct sum, O(N^2)-scaled — it has no treecode)",
               n * steps / el, 500 / 2.9e-3 / (n / 500))
 
+    def bh3_1m():
+        n, steps = 1_000_000, 50
+        pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
+        # bh3 (Verlet sub-refined near pass) at the 1M at-tier recipe —
+        # strictly better error than bh2's 86.3 ms recipe at 71.6 ms
+        # reused force eval (ROUND4_NOTES.md sweep table); rollout
+        # artifact: results/large_scale/bh_rollout_1m_bh3.json
+        cfg = SimulationConfig(g_const=4.5e-6, softening=0.05, dt=1e-4,
+                               calc_energy=False, force_backend="bh3",
+                               bh_near=48, bh_block=128, bh_coarse=16,
+                               bh_rc=48, bh_sub_block=32, bh_n_sub=48,
+                               bh_refresh=8)
+        el = timed(lambda: simulate(pos, vel, mass, steps, cfg),
+                   lambda t: t.positions)
+        _emit(f"Barnes-Hut bh3 rollout throughput ({n} bodies, {steps} steps; vs reference direct sum, O(N^2)-scaled — it has no treecode)",
+              n * steps / el, 500 / 2.9e-3 / (n / 500))
+
     def gnn_100k():
         n, steps = 100_000, 20
         from nbody_tpu.models import GraphModel
@@ -172,8 +190,8 @@ def _frontier():
         _emit(f"ContConv surrogate rollout throughput ({n} bodies, {steps} steps; vs reference ContConv, linear-N-scaled)",
               n * steps / el, 500 / 2.22)
 
-    return [("bh_200k", bh_200k), ("gnn_100k", gnn_100k),
-            ("contconv_100k", contconv_100k)]
+    return [("bh_200k", bh_200k), ("bh3_1m", bh3_1m),
+            ("gnn_100k", gnn_100k), ("contconv_100k", contconv_100k)]
 
 
 if __name__ == "__main__":

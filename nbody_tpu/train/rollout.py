@@ -82,7 +82,8 @@ def autoregressive_rollout(
         as the fused forward (float-rounding-level differences only).
         Long rollouts slowly drift from the initial Morton order, growing
         the fallback share — ``window_budget`` (default 25% of edges) must
-        absorb it; over-budget edges would be silently dropped.
+        absorb it; over-budget edges are dropped and reported per refresh
+        via ``jax.debug.print``.
     :param window_half: window half-width in sorted rows (multiple of 128).
     :param window_bf16: run the one-hot gather contraction on the MXU in
         bf16 (~4x the f32 MXU rate; v rounds to bf16 — ~1e-3 relative).
@@ -117,6 +118,17 @@ def autoregressive_rollout(
             return idx, valid
         plan = plan_windowed_gather(idx[0], valid[0], tile=256,
                                     half=window_half, budget=window_budget)
+        # the kernel contract says over-budget fallback edges are DROPPED
+        # (edgeconv_kernel.WindowPlan); surface it instead of corrupting
+        # the physics silently. Runs once per graph refresh — negligible.
+        jax.lax.cond(
+            plan.overflow > 0,
+            lambda o: jax.debug.print(
+                "windowed rollout: fallback budget exceeded — {} edges "
+                "dropped this refresh (raise window_budget)", o),
+            lambda o: None,
+            plan.overflow,
+        )
         return idx, (valid, plan)
 
     def forward(pos, vel, idx, valid):
