@@ -65,14 +65,36 @@ class SnapshotDataset:
     @classmethod
     def from_file(cls, path: str) -> "SnapshotDataset":
         """Load from a trajectory CSV (reference schema) or its ``.npz``
-        twin — preferring the npz when it is at least as new as the CSV."""
+        twin — preferring the npz when it is at least as new as the CSV.
+
+        A structurally corrupt npz (e.g. truncated by a kill mid-write — the
+        round-4 failure that forfeited a training window) falls back to the
+        CSV twin when one exists; with no fallback it raises a clear error
+        naming the file instead of a bare BadZipFile from inside np.load."""
         npz = path[:-4] + ".npz" if path.endswith(".csv") else path
         if (
             npz.endswith(".npz")
             and os.path.exists(npz)
             and (not os.path.exists(path) or os.path.getmtime(npz) >= os.path.getmtime(path))
         ):
-            return cls.from_npz(npz)
+            from nbody_tpu.data.generate import valid_npz
+
+            if valid_npz(npz):
+                return cls.from_npz(npz)
+            if os.path.exists(path) and path != npz:
+                import warnings
+
+                warnings.warn(
+                    f"{npz} is corrupt (truncated write?) — falling back to "
+                    f"the CSV twin {path}; regenerate the npz to clear this",
+                    stacklevel=2,
+                )
+                return cls.from_csv(path)
+            raise OSError(
+                f"dataset file {npz} is corrupt (incomplete zip — likely a "
+                "kill mid-write) and has no CSV twin; delete it and "
+                "regenerate the scene"
+            )
         return cls.from_csv(path)
 
     @classmethod

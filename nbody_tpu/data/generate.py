@@ -379,8 +379,50 @@ def generate_dataset(
 
         write_csv(df, output)
     if write_npz:
-        np.savez_compressed(_npz_path(output), n_scenes=len(scenarios), **npz_payload)
+        save_npz_atomic(_npz_path(output), n_scenes=len(scenarios), **npz_payload)
 
 
 def _npz_path(csv_path: str) -> str:
     return csv_path[:-4] + ".npz" if csv_path.endswith(".csv") else csv_path + ".npz"
+
+
+def save_npz_atomic(path: str, **payload) -> None:
+    """``np.savez_compressed`` via a temp file + ``os.replace``.
+
+    A SIGKILL/timeout mid-write (the round-4 queue-16 failure: a 1M scene
+    write killed at ~3.2 GB left a truncated ``train_0.npz`` that
+    ``--skip-datagen`` later trusted and crashed on) can then never leave a
+    half-written file at the final path — readers see either the old file,
+    nothing, or the complete new file.
+    """
+    import os
+
+    # np.savez appends ".npz" to names lacking it, so the temp name must
+    # already end in ".npz" to land where os.replace expects it.
+    tmp = path + ".tmp.npz"
+    try:
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def valid_npz(path: str) -> bool:
+    """True iff ``path`` exists and is a structurally complete zip/npz.
+
+    Checks the end-of-central-directory record (cheap — O(1) reads at the
+    file tail), which a truncated ``np.savez_compressed`` write never has.
+    Used by resume paths (``--skip-datagen``) before trusting an existing
+    scene file instead of the reference-style existence-only check.
+    """
+    import os
+    import zipfile
+
+    if not os.path.exists(path):
+        return False
+    try:
+        with zipfile.ZipFile(path) as z:
+            return len(z.namelist()) > 0
+    except (zipfile.BadZipFile, OSError):
+        return False

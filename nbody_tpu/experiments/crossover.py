@@ -201,6 +201,14 @@ def main(argv=None):
             if not args.windowed:
                 continue
             for wtag, bf16 in (("window", False), ("window-bf16", True)):
+                # audit pass: worst per-refresh dropped-edge count, returned
+                # as data (the backend rejects host callbacks, so the kernel
+                # cannot print it; see train/rollout.py return_overflow)
+                ovf = int(autoregressive_rollout(
+                    model, variables, pos, vel, mass, args.steps + 1, DT,
+                    graph_refresh=r, windowed=True, window_bf16=bf16,
+                    return_overflow=True,
+                )[3])
                 el = _timed(lambda r=r, bf16=bf16: autoregressive_rollout(
                     model, variables, pos, vel, mass, args.steps + 1, DT,
                     graph_refresh=r, windowed=True, window_bf16=bf16,
@@ -209,7 +217,8 @@ def main(argv=None):
                              "mode": f"surrogate({impl_tag}{wtag},"
                                      f"refresh={r})",
                              "ms_per_step": el / args.steps * 1e3,
-                             "psteps_per_s": n * args.steps / el})
+                             "psteps_per_s": n * args.steps / el,
+                             "overflow_edges": ovf})
                 print(json.dumps(rows[-1]), flush=True)
                 _write()
 

@@ -110,7 +110,7 @@ def main(argv=None):
                    help="reuse existing npz datasets")
     args = p.parse_args(argv)
 
-    from nbody_tpu.data.generate import ScenarioConfig, generate_dataset
+    from nbody_tpu.data.generate import ScenarioConfig, generate_dataset, valid_npz
     from nbody_tpu.data.dataset import SnapshotDataset
     from nbody_tpu.models import GraphModel
     from nbody_tpu.train.optim import PlateauScheduler
@@ -142,13 +142,18 @@ def main(argv=None):
     datagen_s = 0.0
     for i in range(args.train_scenes):
         out = os.path.join(train_dir, f"train_{i}.csv")
-        if args.skip_datagen and os.path.exists(out[:-4] + ".npz"):
+        # Trust an existing scene only if it is a complete zip — round 4's
+        # queue-16 kill left a truncated train_0.npz that the old
+        # existence-only check fed to both final training jobs (BadZipFile).
+        # A corrupt scene is regenerated (the atomic writer in
+        # data/generate.py guarantees the replacement is complete).
+        if args.skip_datagen and valid_npz(out[:-4] + ".npz"):
             continue
         generate_dataset([scenario(42 + i)], out, snapshot_stride=args.stride,
                          write_csv_file=False, vmap_scenes=False,
                          time_chunks=args.time_chunks)
     test_csv = os.path.join(test_dir, "test.csv")
-    if not (args.skip_datagen and os.path.exists(test_csv[:-4] + ".npz")):
+    if not (args.skip_datagen and valid_npz(test_csv[:-4] + ".npz")):
         generate_dataset([scenario(1042)], test_csv,
                          snapshot_stride=args.stride, write_csv_file=False,
                          vmap_scenes=False, time_chunks=args.time_chunks)

@@ -36,7 +36,8 @@ def predict_accelerations(model, variables, pos, vel, mass):
 @partial(jax.jit, static_argnames=("model", "steps", "graph_spec",
                                    "graph_refresh", "windowed",
                                    "window_half", "window_budget",
-                                   "window_bf16", "window_interpret"))
+                                   "window_bf16", "window_interpret",
+                                   "return_overflow"))
 def autoregressive_rollout(
     model,
     variables: Any,
@@ -52,7 +53,8 @@ def autoregressive_rollout(
     window_budget=None,
     window_bf16: bool = False,
     window_interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    return_overflow: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Roll a single scene forward with the surrogate force model.
 
     Semantics of ``Trainer.step`` (trainer.py:217-226): half-kick with the
@@ -82,13 +84,21 @@ def autoregressive_rollout(
         as the fused forward (float-rounding-level differences only).
         Long rollouts slowly drift from the initial Morton order, growing
         the fallback share — ``window_budget`` (default 25% of edges) must
-        absorb it; over-budget edges are dropped and reported per refresh
-        via ``jax.debug.print``.
+        absorb it; over-budget edges are DROPPED. The worst per-refresh
+        drop count is a traced scalar returned via ``return_overflow``
+        (a host callback like ``jax.debug.print`` is NOT usable here: the
+        production axon PJRT backend rejects host send/recv callbacks).
     :param window_half: window half-width in sorted rows (multiple of 128).
     :param window_bf16: run the one-hot gather contraction on the MXU in
         bf16 (~4x the f32 MXU rate; v rounds to bf16 — ~1e-3 relative).
+    :param return_overflow: append a scalar int32 to the outputs — the MAX
+        over-budget fallback-edge drop count across all graph builds (always
+        0 when not windowed). Callers that enable the windowed kernel should
+        check it: nonzero means dropped edges corrupted the physics and
+        ``window_budget`` must be raised.
     :return: (pos, vel, acc) each (steps, N, 3); row 0 is the initial state
-        with the predicted initial acceleration.
+        with the predicted initial acceleration. Plus the overflow scalar
+        if ``return_overflow``.
     """
     spec = model.graph_spec if graph_spec is None else (
         (graph_spec[0], dict(graph_spec[1]))
@@ -113,23 +123,18 @@ def autoregressive_rollout(
     mass_col = mass[:, None]
 
     def build(pos):
+        """-> (idx, valid-or-(valid, plan), overflow scalar)."""
         idx, valid = build_graph(spec, pos[None])
         if not windowed:
-            return idx, valid
+            return idx, valid, jnp.int32(0)
         plan = plan_windowed_gather(idx[0], valid[0], tile=256,
                                     half=window_half, budget=window_budget)
         # the kernel contract says over-budget fallback edges are DROPPED
-        # (edgeconv_kernel.WindowPlan); surface it instead of corrupting
-        # the physics silently. Runs once per graph refresh — negligible.
-        jax.lax.cond(
-            plan.overflow > 0,
-            lambda o: jax.debug.print(
-                "windowed rollout: fallback budget exceeded — {} edges "
-                "dropped this refresh (raise window_budget)", o),
-            lambda o: None,
-            plan.overflow,
-        )
-        return idx, (valid, plan)
+        # (edgeconv_kernel.WindowPlan); thread the count out as data so the
+        # caller can surface it — device-side printing is impossible on the
+        # production backend (axon_pjrt: host send/recv callbacks are
+        # UNIMPLEMENTED, the round-4 windowed-rollout crash).
+        return idx, (valid, plan), plan.overflow
 
     def forward(pos, vel, idx, valid):
         x = jnp.concatenate([pos, vel, mass_col], axis=-1)[None]
@@ -141,29 +146,31 @@ def autoregressive_rollout(
         return model.apply(variables, x, idx, valid, train=False)[0]
 
     def predict(pos, vel):
-        idx, valid = build(pos)
-        return forward(pos, vel, idx, valid)
+        idx, valid, ovf = build(pos)
+        return forward(pos, vel, idx, valid), ovf
 
-    acc0 = predict(pos0, vel0)
+    acc0, ovf0 = predict(pos0, vel0)
 
     def step_with(carry, idx, valid, rebuild):
         pos, vel, acc = carry
         v_half = vel + 0.5 * dt * acc
         pos_n = pos + dt * v_half
+        ovf = jnp.int32(0)
         if rebuild:
-            acc_n = predict(pos_n, v_half)
+            acc_n, ovf = predict(pos_n, v_half)
         else:
             acc_n = forward(pos_n, v_half, idx, valid)
         vel_n = v_half + 0.5 * dt * acc_n
-        return (pos_n, vel_n, acc_n)
+        return (pos_n, vel_n, acc_n), ovf
 
     if graph_refresh <= 1:
         def body(carry, _):
-            carry = step_with(carry, None, None, True)
-            return carry, carry
+            state, ovf = carry
+            state, o = step_with(state, None, None, True)
+            return (state, jnp.maximum(ovf, o)), state
 
-        _, (ps, vs, accs) = jax.lax.scan(
-            body, (pos0, vel0, acc0), None, length=steps - 1
+        (_, overflow), (ps, vs, accs) = jax.lax.scan(
+            body, ((pos0, vel0, acc0), ovf0), None, length=steps - 1
         )
     else:
         r = graph_refresh
@@ -172,17 +179,18 @@ def autoregressive_rollout(
 
         def segment(carry, _):
             # one graph build per segment, r (possibly padded) steps reuse it
-            idx, valid = build(carry[0])
+            state, ovf = carry
+            idx, valid, o = build(state[0])
 
             def inner(c, _):
-                c = step_with(c, idx, valid, False)
+                c, _ = step_with(c, idx, valid, False)
                 return c, c
 
-            carry, outs = jax.lax.scan(inner, carry, None, length=r)
-            return carry, outs
+            state, outs = jax.lax.scan(inner, state, None, length=r)
+            return (state, jnp.maximum(ovf, o)), outs
 
-        _, segs = jax.lax.scan(
-            segment, (pos0, vel0, acc0), None, length=n_seg
+        (_, overflow), segs = jax.lax.scan(
+            segment, ((pos0, vel0, acc0), ovf0), None, length=n_seg
         )
         ps, vs, accs = (
             s.reshape((n_seg * r,) + s.shape[2:])[: steps - 1] for s in segs
@@ -198,4 +206,6 @@ def autoregressive_rollout(
         ps = jnp.take(ps, perm, axis=1)
         vs = jnp.take(vs, perm, axis=1)
         accs = jnp.take(accs, perm, axis=1)
+    if return_overflow:
+        return ps, vs, accs, overflow
     return ps, vs, accs

@@ -46,13 +46,29 @@ class TrainState(struct.PyTreeNode):
 def _list_dataset_files(data_path: str):
     """Dataset files under a directory: CSVs plus npz-only datasets (large-N
     datagen with write_csv_file=False) that have no CSV sibling.
-    ``SnapshotDataset.from_file`` resolves either form."""
+    ``SnapshotDataset.from_file`` resolves either form.
+
+    npz-only files that are structurally corrupt (truncated by a mid-write
+    kill — the round-4 failure mode) are excluded with a loud warning so an
+    epoch loop trains on the surviving scenes instead of crashing hours in;
+    CSV-backed files keep their CSV fallback in ``SnapshotDataset.from_file``."""
+    from nbody_tpu.data.generate import valid_npz
+
     files = sorted(glob(os.path.join(data_path, "*.csv")))
     stems = {f[:-4] for f in files}
-    files += sorted(
-        f for f in glob(os.path.join(data_path, "*.npz"))
-        if f[:-4] not in stems
-    )
+    for f in sorted(glob(os.path.join(data_path, "*.npz"))):
+        if f[:-4] in stems:
+            continue
+        if valid_npz(f):
+            files.append(f)
+        else:
+            import warnings
+
+            warnings.warn(
+                f"skipping corrupt dataset file {f} (incomplete zip — "
+                "likely a kill mid-write); regenerate it to train on it",
+                stacklevel=2,
+            )
     return sorted(files)
 
 

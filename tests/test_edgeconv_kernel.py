@@ -122,3 +122,53 @@ def test_windowed_rollout_matches_standard():
     denom = np.abs(ra).max() + 1e-30
     assert np.abs(ra - wa).max() / denom < 1e-5, (
         np.abs(ra - wa).max() / denom)
+
+
+def test_rollout_overflow_returned_as_data():
+    """The over-budget dropped-edge count comes back as a traced output
+    (``return_overflow=True``) rather than a ``jax.debug.print`` host
+    callback — the production axon PJRT backend rejects host send/recv
+    callbacks, which crashed the round-4 windowed 1M rollout."""
+    from nbody_tpu.ics import generate_spiral
+    from nbody_tpu.models import GraphModel
+    from nbody_tpu.train.graphs import build_graph
+    from nbody_tpu.train.rollout import autoregressive_rollout
+
+    n, steps = 600, 4
+    pos, vel, mass = generate_spiral(jax.random.PRNGKey(0), n)
+    model = GraphModel(input_dim=4, gnn_dim=16, message_passing_steps=2,
+                       aggr="mean", neighbors=4, scale_factor=1e6,
+                       knn_method="morton", fused_edgeconv=True)
+    x = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
+    idx, valid = build_graph(model.graph_spec, x[..., :3])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), x, idx, valid)
+
+    # ample budget: no drops, overflow == 0, trajectory unchanged
+    out = autoregressive_rollout(model, variables, pos, vel, mass, steps,
+                                 1e-4, graph_refresh=2, windowed=True,
+                                 window_half=128, window_interpret=True,
+                                 return_overflow=True)
+    assert len(out) == 4 and int(out[3]) == 0
+    ref = autoregressive_rollout(model, variables, pos, vel, mass, steps,
+                                 1e-4, graph_refresh=2, windowed=True,
+                                 window_half=128, window_interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]))
+
+    # starved fallback budget: a uniform cloud has Morton teleports across
+    # octant boundaries (~70 out-of-window edges at n=600/k=4/half=128 —
+    # the spiral is too Morton-local to produce any), so a budget below
+    # that must surface a positive drop count
+    posu = jax.random.uniform(jax.random.PRNGKey(3), (n, 3))
+    velu = jnp.zeros_like(posu)
+    out2 = autoregressive_rollout(model, variables, posu, velu, mass, steps,
+                                  1e-4, graph_refresh=2, windowed=True,
+                                  window_half=128, window_budget=16,
+                                  window_interpret=True,
+                                  return_overflow=True)
+    assert int(out2[3]) > 0
+
+    # non-windowed rollouts report a zero overflow
+    out3 = autoregressive_rollout(model, variables, pos, vel, mass, steps,
+                                  1e-4, graph_refresh=2,
+                                  return_overflow=True)
+    assert len(out3) == 4 and int(out3[3]) == 0
