@@ -1,4 +1,34 @@
-"""Windowed fused EdgeConv message kernel — the TPU-native fix for the
+"""Windowed fused EdgeConv message kernel — RETIRED (round 5).
+
+RETIREMENT RECORD — the kernel lost its decisive A/B at every scale it was
+built for, run on an otherwise-idle v5e chip:
+
+- 1M bodies, k=8, refresh=8 GNN rollout (``results/large_scale/
+  crossover_window.json``): standard fused path 453.8 ms/step; windowed
+  f32 645.4 ms/step (1.42x WORSE); windowed bf16 468.2 ms/step (still
+  3% worse, at ~1e-3 gather rounding). Zero fallback-budget overflow, so
+  the loss is structural, not a mis-tuned budget.
+- 500k end-to-end (round 4): 231 vs 194 ms/step — also a loss.
+- Root cause (round-4 ablations + ``gather_microbench.json``): the premise
+  overestimated XLA's row-gather cost — measured 9 ns/row at 1M on an idle
+  chip (72 ms for 8M rows), not the ~40 ns/row the treeforce (N, 3)
+  permutation measurement suggested; meanwhile the kernel pays a ~28 ms
+  synchronous per-tile DMA/grid floor (1953 tiles x ~14 us), the one-hot
+  build (E x W compares), and per-refresh plan/sort overheads. After the
+  Precision.HIGHEST exactness fix the f32 gather's margin over XLA nearly
+  vanished (65.8 vs 70.7 ms at 500k) and the end-to-end overheads decide.
+
+What remains correct and potentially reusable: the factored one-hot MXU
+gather pattern (exact under Precision.HIGHEST; Mosaic lowering rules in the
+design notes below), the window/fallback edge-split planner, and the
+measured Mosaic constraints (no lane-crossing shape casts, 128-aligned
+manual-DMA lane dims, f32 default matmul rounds rhs to bf16 on v5e).
+
+Original design rationale follows.
+
+----
+
+Windowed fused EdgeConv message kernel — the TPU-native fix for the
 per-edge neighbor gather that dominates the GNN surrogate forward at 1M
 bodies.
 

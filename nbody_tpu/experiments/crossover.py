@@ -51,9 +51,6 @@ def main(argv=None):
                    help="morton curve copies (speed/recall tradeoff)")
     p.add_argument("--knn-block", type=int, default=256,
                    help="morton block rows (pallas window == block)")
-    p.add_argument("--windowed", action="store_true",
-                   help="also time the Morton-window EdgeConv kernel "
-                        "rollout (f32 and bf16 MXU gather) per refresh")
     p.add_argument("--no-fused", action="store_true",
                    help="disable the restructured EdgeConv forward")
     p.add_argument("--bh", action="store_true",
@@ -198,29 +195,6 @@ def main(argv=None):
                          "psteps_per_s": n * args.steps / el})
             print(json.dumps(rows[-1]), flush=True)
             _write()
-            if not args.windowed:
-                continue
-            for wtag, bf16 in (("window", False), ("window-bf16", True)):
-                # audit pass: worst per-refresh dropped-edge count, returned
-                # as data (the backend rejects host callbacks, so the kernel
-                # cannot print it; see train/rollout.py return_overflow)
-                ovf = int(autoregressive_rollout(
-                    model, variables, pos, vel, mass, args.steps + 1, DT,
-                    graph_refresh=r, windowed=True, window_bf16=bf16,
-                    return_overflow=True,
-                )[3])
-                el = _timed(lambda r=r, bf16=bf16: autoregressive_rollout(
-                    model, variables, pos, vel, mass, args.steps + 1, DT,
-                    graph_refresh=r, windowed=True, window_bf16=bf16,
-                ))
-                rows.append({"n": n,
-                             "mode": f"surrogate({impl_tag}{wtag},"
-                                     f"refresh={r})",
-                             "ms_per_step": el / args.steps * 1e3,
-                             "psteps_per_s": n * args.steps / el,
-                             "overflow_edges": ovf})
-                print(json.dumps(rows[-1]), flush=True)
-                _write()
 
     if args.out:
         print(f"wrote {args.out}")

@@ -101,6 +101,17 @@ def main(argv=None):
                         "multi-minute execution (tunneled-worker crash)")
     p.add_argument("--data-dir", default="results/large_scale/data")
     p.add_argument("--out", default=None)
+    p.add_argument("--load-params", default=None,
+                   help="skip training: load final params from this "
+                        "msgpack (written by a previous run next to its "
+                        "result JSON) and run the eval stages only — a "
+                        "crashed eval is rerunnable without retraining")
+    p.add_argument("--train-time-budget", type=float, default=0,
+                   help="stop the epoch loop after this many seconds of "
+                        "training wall-clock (finishing the current epoch) "
+                        "so the eval ALWAYS runs — round 4 lost the 1M eval "
+                        "because training consumed the whole session; 0 = "
+                        "no budget")
     p.add_argument("--save-every", type=int, default=0,
                    help="checkpoint every E epochs into <out>_ckpt/ and "
                         "resume from the latest on restart — multi-hour "
@@ -234,22 +245,58 @@ def main(argv=None):
                             ignore_index=True)
         new.to_csv(csv_path, index=False)
 
+    train_t0 = time.perf_counter()
+
     def on_epoch(e, losses, mses):
         now = time.perf_counter()
         epoch_walls.append(now - last[0])
         last[0] = now
         write_epoch_csv(e, losses, mses)
+        if args.train_time_budget and (now - train_t0) > args.train_time_budget:
+            return True  # graceful stop: eval must still get its chip time
 
-    t0 = time.perf_counter()
-    losses, mses = trainer.train_from_dir(
-        train_dir, epochs=args.epochs, batch_size=args.batch_size,
-        batch_mode="bucketed", verbose=True, on_epoch_end=on_epoch,
-        scan_chunk=args.scan_chunk,
-        save_every=args.save_every,
-        save_path=(out[:-5] + "_ckpt") if args.save_every else None,
-    )
-    train_s = time.perf_counter() - t0
-    print(f"train: {train_s:.1f}s, final loss {losses[-1]:.4f}", flush=True)
+    from flax import serialization
+
+    params_path = out[:-5] + "_params.msgpack"
+    if args.load_params:
+        # eval-only rerun: build the param template from one batch, then
+        # overwrite with the committed weights
+        from nbody_tpu.data.dataset import BatchIterator
+        from nbody_tpu.train.trainer import _list_dataset_files
+
+        first_ds = SnapshotDataset.from_file(_list_dataset_files(train_dir)[0])
+        first_batch = next(iter(
+            BatchIterator(first_ds, args.batch_size, shuffle=False)))
+        trainer._ensure_state(first_batch)
+        with open(args.load_params, "rb") as f:
+            loaded = serialization.from_bytes(
+                {"params": trainer.state.params}, f.read())
+        trainer.state = trainer.state.replace(params=loaded["params"])
+        losses, mses = [float("nan")], [float("nan")]
+        train_s = 0.0
+        print(f"loaded params from {args.load_params}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        losses, mses = trainer.train_from_dir(
+            train_dir, epochs=args.epochs, batch_size=args.batch_size,
+            batch_mode="bucketed", verbose=True, on_epoch_end=on_epoch,
+            scan_chunk=args.scan_chunk,
+            save_every=args.save_every,
+            save_path=(out[:-5] + "_ckpt") if args.save_every else None,
+        )
+        train_s = time.perf_counter() - t0
+        print(f"train: {train_s:.1f}s, final loss {losses[-1]:.4f}",
+              flush=True)
+
+        # durable weights, FIRST thing after training: checkpoints live in a
+        # gitignored Orbax dir and round 4's VM wipe destroyed an epoch-39
+        # model — the final params are O(100 KB) for the GNN and belong next
+        # to the result JSON so a crashed eval can be rerun without retraining
+        with open(params_path + ".tmp", "wb") as f:
+            f.write(serialization.to_bytes({"params": trainer.state.params}))
+        os.replace(params_path + ".tmp", params_path)
+        print(f"wrote {params_path} "
+              f"({os.path.getsize(params_path) / 1024:.0f} KiB)", flush=True)
 
     # free the device-resident training buckets before eval: at 1M bodies
     # they hold ~8 GB of HBM (2 scenes x 100 x (1M, 7+3) f32) and the
@@ -294,6 +341,12 @@ def main(argv=None):
     # persist training + stepwise results BEFORE the rollout: a rollout
     # failure (OOM/worker crash at large N) must not lose a half-hour of
     # training evidence
+    if args.load_params and os.path.exists(out):
+        # eval-only rerun: keep the original run's training record
+        with open(out) as f:
+            prior_training = json.load(f).get("training")
+    else:
+        prior_training = None
     result = {
         "n_bodies": n,
         "model": args.model,
@@ -319,9 +372,13 @@ def main(argv=None):
             "predict_zero_baseline_scaled_rmse": zero_baseline,
         },
     }
+    if prior_training is not None:
+        result["training"] = prior_training
+        result["eval"]["params_loaded_from"] = args.load_params
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
-    write_epoch_csv(trainer.epoch, losses, mses)
+    if not args.load_params:
+        write_epoch_csv(trainer.epoch, losses, mses)
     print(f"wrote {out} (pre-rollout)", flush=True)
 
     # rollout vs BH ground truth + exact forces

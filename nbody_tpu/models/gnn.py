@@ -53,49 +53,20 @@ class EdgeConv(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, h, nbr_idx, nbr_valid, h_src=None, window_plan=None,
-                 window_args=None):
+    def __call__(self, h, nbr_idx, nbr_valid, h_src=None):
         """:param h_src: optional separate gather source for neighbor
         features (``nbr_idx`` indexes into it). Defaults to ``h`` — the
         single-device case. The particle-sharded forward
         (``parallel/surrogate.py``) passes the all-gathered full array here
         while ``h`` holds only the local shard's rows, so the sharded path
         applies THIS module instead of hand-mirroring its math.
-        :param window_plan: optional ``ops.edgeconv_kernel.WindowPlan`` —
-            rows must be in Morton-sorted order and B must be 1. Routes the
-            per-edge gather through the windowed Pallas kernel (the XLA row
-            gather is issue-rate bound: ~0.5 s of the 1M forward). Same
-            function and params as ``fused=True``.
-        :param window_args: (tile, half, interpret, mxu_dtype) statics for
-            the kernel; None = the kernel defaults."""
+
+        (A ``window_plan`` argument routed the gather through a Morton-window
+        Pallas kernel in rounds 4-5; retired after losing its 1M A/B — see
+        ``attic/edgeconv_kernel.py``.)"""
         src = h if h_src is None else h_src
         d1 = Dense(self.dim)
         d2 = Dense(self.dim)
-        if window_plan is not None:
-            from nbody_tpu.ops.edgeconv_kernel import edge_message_sum
-
-            if h.shape[0] != 1:
-                raise ValueError("window_plan path requires batch size 1")
-            if h_src is not None:
-                raise ValueError("window_plan path is single-device only")
-            tile, half, interpret, mxu_dtype = window_args or (
-                256, 384, False, jnp.float32)
-            u = d1(jnp.concatenate([h, -h], axis=-1))[0]
-            v = d1(jnp.concatenate([jnp.zeros_like(h), h], axis=-1))[0]
-            b1 = d1(jnp.zeros((1, 1, 2 * h.shape[-1]), h.dtype))[0]
-            agg = edge_message_sum(
-                u - b1, v, nbr_idx[0], window_plan, tile=tile, half=half,
-                interpret=interpret, mxu_dtype=mxu_dtype)[None]
-            cnt = jnp.sum(nbr_valid.astype(h.dtype), axis=2)[..., None]
-            if self.aggr == "mean":
-                agg = agg / jnp.maximum(cnt, 1.0)
-            out = d2(agg)
-            b2 = d2(jnp.zeros((1, 1, self.dim), h.dtype))
-            if self.aggr == "sum":
-                out = out + (cnt - 1.0) * b2
-            else:
-                out = jnp.where(cnt > 0, out, 0.0)
-            return out
         if not self.fused:
             h_j = gather_neighbors(src, nbr_idx)  # (B, N, k, d)
             h_i = h[:, :, None, :]
@@ -182,7 +153,7 @@ class GraphModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr_idx, nbr_valid, train: bool = False,
-                 node_mask=None, window_plan=None, window_args=None):
+                 node_mask=None):
         """:param x: (B, N, 7) node features [pos | vel | mass].
         :param nbr_idx: (B, N, k) int32 neighbor indices.
         :param nbr_valid: (B, N, k) bool neighbor validity.
@@ -191,9 +162,6 @@ class GraphModel(nn.Module):
             is per-node (the encoder MLP has ``norm=None``, gnn.py:62, and
             LayerNorm normalises within each node), so padding cannot leak
             into valid nodes' statistics and the mask is not needed.
-        :param window_plan/window_args: Morton-sorted-space fast path for
-            the EdgeConv gathers (see :class:`EdgeConv`); B must be 1 and
-            rows sorted by Morton rank.
         :return: (B, N, output_dim) predicted accelerations.
         """
         x = select_input_features(x, self.input_dim)
@@ -211,9 +179,7 @@ class GraphModel(nn.Module):
         conv_cls = nn.remat(EdgeConv) if self.remat else EdgeConv
         for i in range(self.message_passing_steps):
             x = conv_cls(self.gnn_dim, self.aggr, self.fused_edgeconv,
-                         name=f"EdgeConv_{i}")(x, nbr_idx, nbr_valid,
-                                               window_plan=window_plan,
-                                               window_args=window_args)
+                         name=f"EdgeConv_{i}")(x, nbr_idx, nbr_valid)
 
         x = jnp.concatenate([encoder_output, x], axis=-1)  # gnn.py:144
         x = nn.LayerNorm(epsilon=1e-5)(x)  # torch default eps

@@ -647,14 +647,24 @@ class Trainer:
             # callback (train/elastic.py) that raises on a non-finite state
             # must prevent the corrupted epoch from being checkpointed, so
             # the latest checkpoint is always a known-good rollback point.
+            stop = None
             if on_epoch_end is not None:
-                on_epoch_end(self.epoch, epoch_losses, epoch_mse_losses)
+                stop = on_epoch_end(self.epoch, epoch_losses, epoch_mse_losses)
             if self.scheduler:
                 self._set_lr(self.scheduler.step(mean_loss))
-            if mgr and save_every > 0 and (e + 1) % save_every == 0:
+            if mgr and save_every > 0 and ((e + 1) % save_every == 0 or stop):
                 mgr.save(self.epoch, self._ckpt_tree())
                 if verbose:
                     print(f"Saved checkpoint at epoch {self.epoch}")
+            if stop:
+                # a truthy on_epoch_end return requests a graceful early stop
+                # (e.g. a wall-clock training budget that must leave time for
+                # eval — round 4 lost its 1M eval because training consumed
+                # the whole session); the epoch just finished is checkpointed
+                # above so nothing is lost.
+                if verbose:
+                    print(f"Early stop requested at epoch {self.epoch}")
+                break
         if mgr:
             mgr.close()
         return epoch_losses, epoch_mse_losses
