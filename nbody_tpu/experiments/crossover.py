@@ -65,6 +65,12 @@ def main(argv=None):
     p.add_argument("--rc", type=int, default=48)
     p.add_argument("--n-sub", type=int, default=24,
                    help="bh3: exact sub-blocks per receiver block")
+    p.add_argument("--load-params", default=None,
+                   help="time the GNN surrogate with these trained weights "
+                        "(msgpack from train_large) instead of random init; "
+                        "rows record which model was timed either way — "
+                        "throughput is params-independent but the claim "
+                        "should name the model")
     p.add_argument("--only", nargs="+", default=None,
                    choices=["direct", "surrogate", "bh", "bh2", "bh3"],
                    help="restrict to these modes (e.g. --only bh to extend "
@@ -184,6 +190,14 @@ def main(argv=None):
         x0 = jnp.concatenate([pos, vel, mass[:, None]], -1)[None]
         idx, valid = build_graph(model.graph_spec, x0[..., :3])
         variables = jax.jit(model.init)(jax.random.PRNGKey(1), x0, idx, valid)
+        if args.load_params:
+            from flax import serialization
+
+            with open(args.load_params, "rb") as f:
+                variables = serialization.from_bytes(variables, f.read())
+            params_tag = args.load_params
+        else:
+            params_tag = "random-init (timing-only; params-independent)"
         for r in args.graph_refresh:
             el = _timed(lambda r=r: autoregressive_rollout(
                 model, variables, pos, vel, mass, args.steps + 1, DT,
@@ -192,7 +206,8 @@ def main(argv=None):
             impl_tag = f"{args.knn_impl}," if args.knn_impl else ""
             rows.append({"n": n, "mode": f"surrogate({impl_tag}refresh={r})",
                          "ms_per_step": el / args.steps * 1e3,
-                         "psteps_per_s": n * args.steps / el})
+                         "psteps_per_s": n * args.steps / el,
+                         "params": params_tag})
             print(json.dumps(rows[-1]), flush=True)
             _write()
 
