@@ -171,3 +171,24 @@ def _tiny_model():
 
     return GraphModel(input_dim=4, gnn_dim=8, message_passing_steps=1,
                       aggr="mean", neighbors=4, scale_factor=1e6)
+
+
+def test_atomic_writer_leaves_no_partial_on_failure(tmp_path, monkeypatch):
+    """If the write itself dies, the final path must hold either the old
+    complete file or nothing — never a truncated new one."""
+    from nbody_tpu.data import generate as gen
+
+    target = str(tmp_path / "x.npz")
+    # seed an existing complete file
+    gen.save_npz_atomic(target, a=np.arange(3))
+    assert gen.valid_npz(target)
+
+    # fail DURING the savez (before os.replace): old file must survive
+    monkeypatch.setattr(np, "savez_compressed",
+                        lambda path, **kw: (_ for _ in ()).throw(
+                            RuntimeError("simulated mid-write kill")))
+    with pytest.raises(RuntimeError):
+        gen.save_npz_atomic(target, a=np.arange(5))
+    z = np.load(target)
+    assert z["a"].shape == (3,), "old complete file must be untouched"
+    assert not [f for f in os.listdir(tmp_path) if ".tmp" in f]

@@ -321,3 +321,28 @@ def test_scan_chunk_is_bit_exact(tiny_data):
     for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
                     jax.tree_util.tree_leaves(t2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_on_epoch_end_early_stop(tiny_data, tmp_path):
+    """A truthy on_epoch_end return stops the epoch loop gracefully after
+    checkpointing the finished epoch — the wall-clock training-budget hook
+    (train_large --train-time-budget) that guarantees eval chip time."""
+    train_dir, _ = tiny_data
+    save = str(tmp_path / "ckpt")
+    trainer = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    losses, _ = trainer.train_from_dir(
+        train_dir, epochs=10, batch_size=8, verbose=False,
+        save_every=5, save_path=save,
+        on_epoch_end=lambda e, l, m: e >= 3,
+    )
+    assert len(losses) == 3 and trainer.epoch == 3
+
+    # the stop epoch was checkpointed even though 3 % save_every != 0,
+    # so a follow-up resume continues from it (epochs = N MORE epochs)
+    # rather than re-running it
+    trainer2 = Trainer(_model(), learning_rate=0.01, dt=DT, seed=0)
+    losses2, _ = trainer2.train_from_dir(
+        train_dir, epochs=2, batch_size=8, verbose=False,
+        save_every=5, save_path=save,
+    )
+    assert trainer2.epoch == 5 and len(losses2) == 2
