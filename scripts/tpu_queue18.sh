@@ -39,9 +39,10 @@ timeout 1500 python -m nbody_tpu.experiments.bh_rollout \
 echo "exit=$?"
 
 echo "--- job 3: ContConv 1M training (kernel VJP), stride-1, budgeted ---"
-# reserve ~1500 s for data load (single-core npz decompress) + eval
+# --train-time-budget counts from process start, so data loading is
+# inside it already; reserve ~1200 s for the eval stages only
 T=$(( DEADLINE - $(date +%s) ))
-BUDGET=$(( T - 1500 )); [ "$BUDGET" -lt 1200 ] && BUDGET=1200
+BUDGET=$(( T - 1200 )); [ "$BUDGET" -lt 1200 ] && BUDGET=1200
 timeout $(( T > 600 ? T : 600 )) python -m nbody_tpu.experiments.train_large \
     --model contconv --conv-impl pallas --n-bodies 1000000 \
     --train-scenes 2 --epochs 20 --steps 100 --stride 1 --time-chunks 4 \
