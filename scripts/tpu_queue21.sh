@@ -1,18 +1,20 @@
 #!/bin/bash
-# TPU queue 21 (round 5, session 4): post-queue20 top-up. Queue20's job 0
-# trains the 1M GNN for 5500 s (~epoch 17-18, loss ~0.045); round 4 showed
-# the curve reaches 0.0355 by epoch 39. This queue waits for queue20 to
-# release the chip, then spends every remaining second before the driver's
-# bench window on:
+# TPU queue 21 (round 5, session 4): post-queue20 top-up + rescue. Queue20
+# trains the 1M GNN for 5500 s (stopped after epoch 22, loss 0.0437) and
+# gives ContConv only the leftover window before its 23:08 deadline — its
+# eval may be cut by the job timeout. This queue waits for queue20 to
+# release the chip, then:
+#   R. ContConv rescue — if the durable params msgpack exists but
+#      train_1m_contconv.json is missing or lacks its rollout section,
+#      rerun the eval stages only (--load-params, no retraining); if even
+#      the params are missing, give ContConv one bounded training+eval
+#      window so VERDICT item 2 has a complete artifact either way.
 #   1. GNN top-up — resume from the committed Orbax checkpoint, train with
 #      --train-time-budget until DEADLINE minus an eval reserve, then the
 #      full eval rewrites train_1m.json + params msgpack.
-#   2. crossover_r5 re-timed + relabeled with the FINAL weights (VERDICT r4
-#      item 8: the row should name the model it timed).
-#   3. loss-figure refresh + final evidence commit.
-# Durability: same countermeasures as queue20 (detached via setsid from the
-# launcher; the autocommit watchdog from scripts/autocommit_watchdog.sh is
-# already running and covers the same artifact globs).
+#   2. loss-figure refresh + final evidence commit.
+# Durability: detached via setsid from the launcher; the autocommit
+# watchdog (scripts/autocommit_watchdog.sh) covers the same artifact globs.
 cd /root/repo
 mkdir -p results/logs
 exec > results/logs/r5_queue21.log 2>&1
@@ -48,6 +50,39 @@ commit_evidence() {
   git diff --cached --quiet || git commit -q -m "$1"
 }
 
+CC_JSON=results/large_scale/train_1m_contconv.json
+CC_PARAMS=results/large_scale/train_1m_contconv_params.msgpack
+cc_complete() { grep -q rollout_horizon "$CC_JSON" 2>/dev/null; }
+
+# --- job R: ContConv rescue ---
+if ! cc_complete; then
+  T=$(( DEADLINE - $(date +%s) ))
+  if [ -f "$CC_PARAMS" ] && [ "$T" -gt 1000 ]; then
+    echo "--- job R: ContConv eval-only rerun from durable params ---"
+    timeout 2400 python -m nbody_tpu.experiments.train_large \
+        --model contconv --conv-impl pallas --n-bodies 1000000 \
+        --train-scenes 2 --epochs 20 --steps 100 --stride 1 --time-chunks 4 \
+        --batch-size 1 --scan-chunk 8 --rollout-steps 96 \
+        --skip-datagen --data-dir results/large_scale/dataq1_ \
+        --load-params "$CC_PARAMS" \
+        --out "$CC_JSON" \
+        >> results/logs/r5_train_1m_contconv.log 2>&1
+    echo "jobR exit=$?"
+  elif [ "$T" -gt 3000 ]; then
+    echo "--- job R: ContConv bounded fresh train+eval (no params found) ---"
+    timeout 3400 python -m nbody_tpu.experiments.train_large \
+        --model contconv --conv-impl pallas --n-bodies 1000000 \
+        --train-scenes 2 --epochs 20 --steps 100 --stride 1 --time-chunks 4 \
+        --batch-size 1 --scan-chunk 8 --rollout-steps 96 \
+        --save-every 1 --train-time-budget 1100 \
+        --skip-datagen --data-dir results/large_scale/dataq1_ \
+        --out "$CC_JSON" \
+        >> results/logs/r5_train_1m_contconv.log 2>&1
+    echo "jobR exit=$?"
+  fi
+  commit_evidence "ContConv 1M rescue: completed eval artifact (queue21)"
+fi
+
 # --- job 1: GNN top-up from the latest committed checkpoint ---
 T=$(( DEADLINE - $(date +%s) ))
 BUDGET=$(( T - 1500 ))
@@ -66,20 +101,7 @@ else
   echo "only ${T}s left; skipping top-up"
 fi
 
-# --- job 2: relabel crossover_r5 with the final weights ---
-T=$(( DEADLINE - $(date +%s) ))
-if [ "$T" -gt 700 ]; then
-  timeout $(( T - 100 )) python -m nbody_tpu.experiments.crossover \
-      --n-bodies 1000000 --steps 10 --neighbors 8 --graph-refresh 8 \
-      --knn-impl pallas --only surrogate \
-      --load-params results/large_scale/train_1m_params.msgpack \
-      --out results/large_scale/crossover_r5.json \
-      >> results/logs/r5_crossover_r5.log 2>&1
-  echo "job2 exit=$?"
-  commit_evidence "crossover_r5: surrogate row re-timed with the final 1M model"
-fi
-
-# --- job 3: refresh the loss figure ---
+# --- job 2: refresh the loss figure ---
 timeout 600 python scripts/plot_train_large.py >> results/logs/r5_queue21.log 2>&1
 commit_evidence "queue21 final: 1M training evidence + figures"
 echo "=== queue21 done $(date) ==="
