@@ -55,6 +55,12 @@ def main(argv=None):
                         "parameter grads, no multi-GB XLA collect "
                         "intermediates) — required to fit 100k-body "
                         "ContConv training on one chip")
+    p.add_argument("--conv-node-chunks", type=int, default=0,
+                   help="pallas contconv only: process the receiver-node "
+                        "axis in this many sequential chunks per layer — "
+                        "required at 1M bodies where the un-chunked "
+                        "gathered feat_j is (32M, 128) f32 = 16 GB and the "
+                        "train step OOMs at 36.9G > 15.75G HBM")
     p.add_argument("--n-bodies", type=int, default=20_000)
     p.add_argument("--train-scenes", type=int, default=2)
     p.add_argument("--steps", type=int, default=400)
@@ -190,6 +196,7 @@ def main(argv=None):
                 radius_impl="pallas" if on_tpu else "xla",
                 zero_init_output=args.zero_init_output,
                 output_scale=args.output_scale, conv_impl=conv_impl,
+                conv_node_chunks=args.conv_node_chunks,
             )
 
         # the Mosaic training kernel only compiles on TPU; elsewhere fall

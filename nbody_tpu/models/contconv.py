@@ -127,6 +127,12 @@ class ContinuousConv(nn.Module):
     radius: float = 0.5
     agg: str = "mean"
     impl: Optional[str] = None  # None/"xla" | "pallas" | "pallas_interpret"
+    node_chunks: int = 0  # pallas path only: process the node axis in this
+    # many sequential chunks (gather + kernel per chunk under lax.map,
+    # rematerialised). Required at 1M bodies: the un-chunked pre-gathered
+    # feat_j is (32M, 128) f32 = 16 GB > 15.75 GB HBM (the round-5 OOM at
+    # models/common.py:15 — 36.9G program, two layers live). Chunking
+    # divides the per-edge peak by ~node_chunks at the cost of one scan.
 
     @nn.compact
     def __call__(self, pos, feat, nbr_idx, nbr_valid, geom=None,
@@ -154,8 +160,11 @@ class ContinuousConv(nn.Module):
 
         is_pallas = self.impl in ("pallas", "pallas_interpret") and d >= 2
         if geom is None:
+            # chunked path: every chunk must itself be tile-aligned, so the
+            # receiver axis is padded to a multiple of 64 * node_chunks
+            tile = 64 * max(1, self.node_chunks) if is_pallas else None
             geom = conv_geometry(pos, nbr_idx, nbr_valid, self.radius,
-                                 tile=64 if is_pallas else None)
+                                 tile=tile)
         else:
             assert geom["radius"] == self.radius, (
                 "shared conv_geometry was built with a different radius")
@@ -164,28 +173,66 @@ class ContinuousConv(nn.Module):
         b, na, k = nbr_idx.shape
 
         grid_coords = (mapped + 1.0) * ((d - 1) / 2.0)  # contconv.py:90
-        feat_j = gather_neighbors(
-            feat if feat_src is None else feat_src, nbr_idx
-        )  # (B, Na, k, ci)
+        fsrc = feat if feat_src is None else feat_src
 
         if is_pallas:
             from nbody_tpu.ops.contconv_kernel import contconv_collect
 
-            # per-axis coordinate planes (not a (M, k, 3) transpose — the
-            # slices fuse into the geometry producer, a strided minor-dim-3
-            # relayout does not)
-            gplanes = [grid_coords[..., a].reshape(b * na, k)
-                       for a in range(3)]
-            out = contconv_collect(
-                *gplanes,
-                window.reshape(b * na, k),
-                feat_j.reshape(b * na, k, self.in_channels),
-                filters.reshape(d * d * d, self.in_channels,
-                                self.out_channels),
-                d=d,
-                interpret=self.impl == "pallas_interpret",
-            ).reshape(b, na, self.out_channels)
+            flat_filters = filters.reshape(
+                d * d * d, self.in_channels, self.out_channels)
+            interpret = self.impl == "pallas_interpret"
+            c = self.node_chunks
+            if c > 1:
+                # Node-chunked collect: gather + fused kernel one receiver
+                # chunk at a time under lax.map, rematerialised so the
+                # backward re-gathers per chunk instead of XLA saving any
+                # full-size (B*Na, k, ci) residual across the layer. This
+                # is what makes 1M-body ContConv training fit on one chip
+                # (see the node_chunks field comment for the OOM numbers).
+                assert na % c == 0, (
+                    f"padded node axis {na} not divisible by node_chunks={c}"
+                    " — build conv_geometry with tile=64*node_chunks")
+                nc = na // c
+                # (B, Na, ...) -> (C, B, nc, ...): chunk within each batch row
+                gc_r = grid_coords.reshape(b, c, nc, k, 3).transpose(
+                    1, 0, 2, 3, 4)
+                win_r = window.reshape(b, c, nc, k).transpose(1, 0, 2, 3)
+                idx_r = nbr_idx.reshape(b, c, nc, k).transpose(1, 0, 2, 3)
+
+                def _chunk(chunk_args):
+                    gcc, winc, idxc = chunk_args
+                    fj = gather_neighbors(fsrc, idxc)  # (B, nc, k, ci)
+                    planes = [gcc[..., a].reshape(b * nc, k)
+                              for a in range(3)]
+                    o = contconv_collect(
+                        *planes,
+                        winc.reshape(b * nc, k),
+                        fj.reshape(b * nc, k, self.in_channels),
+                        flat_filters, d=d, interpret=interpret,
+                    )
+                    return o.reshape(b, nc, self.out_channels)
+
+                out = jax.lax.map(jax.checkpoint(_chunk),
+                                  (gc_r, win_r, idx_r))  # (C, B, nc, co)
+                out = out.transpose(1, 0, 2, 3).reshape(
+                    b, na, self.out_channels)
+            else:
+                feat_j = gather_neighbors(fsrc, nbr_idx)  # (B, Na, k, ci)
+                # per-axis coordinate planes (not a (M, k, 3) transpose —
+                # the slices fuse into the geometry producer, a strided
+                # minor-dim-3 relayout does not)
+                gplanes = [grid_coords[..., a].reshape(b * na, k)
+                           for a in range(3)]
+                out = contconv_collect(
+                    *gplanes,
+                    window.reshape(b * na, k),
+                    feat_j.reshape(b * na, k, self.in_channels),
+                    flat_filters,
+                    d=d,
+                    interpret=interpret,
+                ).reshape(b, na, self.out_channels)
         else:
+            feat_j = gather_neighbors(fsrc, nbr_idx)  # (B, Na, k, ci)
             cidx, cw = trilinear_corners(grid_coords.reshape(-1, 3), d)
             cidx = cidx.reshape(b, na, k, 8)
             cw = cw.reshape(b, na, k, 8)
@@ -249,6 +296,9 @@ class ContinuousConvModel(nn.Module):
     conv_impl: Optional[str] = None  # collect backend: None/"xla" |
     # "pallas"/"pallas_interpret" (fused VMEM kernel; exact parameter AND
     # position grads via its custom VJP — ops/contconv_kernel.py)
+    conv_node_chunks: int = 0  # pallas collect only: sequential receiver
+    # chunks per layer (ContinuousConv.node_chunks) — the 1M-body memory
+    # switch; 0/1 = un-chunked
 
     @property
     def graph_spec(self):
@@ -295,8 +345,8 @@ class ContinuousConvModel(nn.Module):
 
         resolutions = self._resolutions()
         is_pallas = self.conv_impl in ("pallas", "pallas_interpret")
-        geom = conv_geometry(pos, nbr_idx, nbr_valid, self.radius,
-                             tile=64 if is_pallas else None)
+        tile = 64 * max(1, self.conv_node_chunks) if is_pallas else None
+        geom = conv_geometry(pos, nbr_idx, nbr_valid, self.radius, tile=tile)
         for i in range(self.continuous_conv_layers):
             ci = (
                 self.in_channels
@@ -310,6 +360,7 @@ class ContinuousConvModel(nn.Module):
                 radius=self.radius,
                 agg=self.agg,
                 impl=self.conv_impl,
+                node_chunks=self.conv_node_chunks,
             )(pos, x, nbr_idx, nbr_valid, geom=geom)
             x = jnp.tanh(x)  # contconv.py:230
             if self.continuous_conv_dropout > 0:

@@ -161,6 +161,44 @@ def test_contconv_fused_kernel_matches_xla(agg, d, ci, co):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
 
 
+def test_contconv_node_chunked_matches_unchunked():
+    """node_chunks > 1 (the 1M-body memory switch: per-chunk gather + fused
+    kernel under a rematerialised lax.map) must be a pure memory layout
+    change — outputs AND gradients identical to the un-chunked kernel path
+    (same per-row math, different padding/batching)."""
+    b, n, k, radius, d, ci, co = 2, 70, 6, 1.2, 4, 8, 5
+    rng = np.random.default_rng(23)
+    pos = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.normal(size=(b, n, ci)).astype(np.float32))
+    idx, valid = batched_radius_neighbors(pos, radius, k_max=k,
+                                          include_self=True)
+
+    kw = dict(in_channels=ci, out_channels=co, filter_resolution=d,
+              radius=radius, agg="mean", impl="pallas_interpret")
+    base = ContinuousConv(**kw)
+    params = base.init(jax.random.PRNGKey(3), pos, feat, idx, valid)
+    chunked = ContinuousConv(**kw, node_chunks=2)
+
+    want = np.asarray(base.apply(params, pos, feat, idx, valid))
+    got = np.asarray(chunked.apply(params, pos, feat, idx, valid))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    # gradients through the chunked scan + remat: params AND features
+    def loss(layer):
+        def f(p, ft):
+            o = layer.apply(p, pos, ft, idx, valid)
+            return jnp.sum(o * o)
+        return f
+
+    gp_w, gf_w = jax.grad(loss(base), argnums=(0, 1))(params, feat)
+    gp_g, gf_g = jax.grad(loss(chunked), argnums=(0, 1))(params, feat)
+    np.testing.assert_allclose(
+        np.asarray(gp_g["params"]["filters"]),
+        np.asarray(gp_w["params"]["filters"]), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_g), np.asarray(gf_w),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_contconv_model_forward():
     x, _ = _batch(b=2, n=15, seed=5)
     model = ContinuousConvModel(
