@@ -41,12 +41,16 @@ echo $! > /tmp/autocommit22.pid
 
 echo "--- job 0: ContConv 1M train+eval, node-chunked collect ---"
 T=$(( DEADLINE - $(date +%s) ))
-# reserve ~1500 s for stepwise + rollout eval (incl. their compiles);
-# datagen (~1400 s, happens inside because the npz dir was wiped) and the
-# train compile come out of the budget via wall-clock, so the epoch loop
-# gets whatever remains
-BUDGET=$(( T - 1500 )); [ "$BUDGET" -lt 600 ] && BUDGET=600
-timeout $(( T > 900 ? T : 900 )) python -m nbody_tpu.experiments.train_large \
+# --train-time-budget counts from TRAIN start (post-datagen), but datagen
+# (~1400 s: the npz dir was wiped) and the eval compiles (~600-900 s)
+# share the same wall clock as the job timeout. Budgeting T-1500 here
+# re-created round 4's failure (training eats the window, eval killed):
+# T=4500 would put train-end at T-1500 AFTER datagen, i.e. ~datagen past
+# the timeout. Keep the epoch loop short and fixed — the first epoch
+# carries the ~1000 s cold compile, so 1500 s of train wall is ~2 epochs —
+# and leave everything else for the eval stages.
+BUDGET=1500
+timeout $(( T - 300 )) python -m nbody_tpu.experiments.train_large \
     --model contconv --conv-impl pallas --conv-node-chunks 32 \
     --n-bodies 1000000 --train-scenes 2 --epochs 20 \
     --steps 100 --stride 1 --time-chunks 4 \
@@ -57,6 +61,27 @@ timeout $(( T > 900 ? T : 900 )) python -m nbody_tpu.experiments.train_large \
     > results/logs/r5_train_1m_contconv.log 2>&1
 echo "job0 exit=$?"
 commit_evidence "ContConv 1M training through the node-chunked kernel VJP (queue22)"
+
+# eval rescue: if the rollout was cut but training produced durable params,
+# rerun the eval stages only (no retraining) with a shorter horizon
+CC_JSON=results/large_scale/train_1m_contconv.json
+CC_PARAMS=results/large_scale/train_1m_contconv_params.msgpack
+T=$(( DEADLINE - $(date +%s) ))
+if ! grep -q rollout_horizon "$CC_JSON" 2>/dev/null \
+    && [ -f "$CC_PARAMS" ] && [ "$T" -gt 900 ]; then
+  echo "--- job 0b: eval-only rescue from durable params ---"
+  timeout $(( T - 300 )) python -m nbody_tpu.experiments.train_large \
+      --model contconv --conv-impl pallas --conv-node-chunks 32 \
+      --n-bodies 1000000 --train-scenes 2 --epochs 0 \
+      --steps 100 --stride 1 --time-chunks 4 \
+      --batch-size 1 --scan-chunk 8 --rollout-steps 48 \
+      --load-params "$CC_PARAMS" \
+      --skip-datagen --data-dir results/large_scale/dataq1_ \
+      --out "$CC_JSON" \
+      >> results/logs/r5_train_1m_contconv.log 2>&1
+  echo "job0b exit=$?"
+  commit_evidence "ContConv 1M eval rescue from durable params (queue22)"
+fi
 
 echo "--- job 1: refresh the loss figure ---"
 timeout 600 python scripts/plot_train_large.py >> results/logs/r5_queue22.log 2>&1
